@@ -1,0 +1,115 @@
+"""Ranking metrics: precision / recall / coverage @ k.
+
+Vectorized re-implementation of the reference's dict-of-lists metrics
+(``/root/reference/src/metrics.py:81-134``) with identical semantics:
+
+  * precision = (# recommended entries present in the user's ground truth)
+                / (k * number of users)
+  * recall    = (# ground-truth pairs whose item appears in that user's
+                recommendations) / (total # ground-truth pairs)
+  * coverage  = (# distinct recommended items) / catalog size
+
+plus the negative-edge MRR heuristic (``src/metrics.py:137-157``).
+Pair membership uses the on-device edge hash
+(:mod:`gnn_recsys_tpu.ops.edge_hash`) — no Python dict scans.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_recsys_tpu.ops.edge_hash import build_edge_hash, edge_hash_lookup
+from gnn_recsys_tpu.retrieval.recs import get_recs
+
+
+def recs_to_metrics(
+    recs: jax.Array,
+    user_ids: jax.Array,
+    gt_users: np.ndarray,
+    gt_items: np.ndarray,
+    num_items: int,
+) -> Tuple[float, float, float]:
+    """Compute (precision, recall, coverage).
+
+    recs: [U, k] item ids; user_ids: [U] the user id of each row;
+    gt_users/gt_items: [G] ground-truth pairs (possibly with duplicates,
+    matching the reference's list-based counting).
+    """
+    recs = jnp.asarray(recs, dtype=jnp.int32)
+    user_ids = jnp.asarray(user_ids, dtype=jnp.int32)
+    gt_users_j = jnp.asarray(gt_users, dtype=jnp.int32)
+    gt_items_j = jnp.asarray(gt_items, dtype=jnp.int32)
+    u, k = recs.shape
+
+    # Membership of each (user, rec) pair in the ground-truth pair set.
+    gt_table = build_edge_hash(gt_users, gt_items)
+    rec_users = jnp.broadcast_to(user_ids[:, None], recs.shape)
+    rec_hits = edge_hash_lookup(gt_table, rec_users, recs)
+    precision = jnp.sum(rec_hits) / (u * k)
+
+    # For each ground-truth pair: is its item among that user's recs?
+    # user id -> recs row index (user_ids need not be sorted).
+    order = jnp.argsort(user_ids)
+    sorted_uids = user_ids[order]
+    pos = jnp.clip(
+        jnp.searchsorted(sorted_uids, gt_users_j), 0, sorted_uids.shape[0] - 1
+    )
+    row = order[pos]
+    known_user = sorted_uids[pos] == gt_users_j
+    gt_in_recs = jnp.any(recs[row] == gt_items_j[:, None], axis=1)
+    recall = jnp.sum(gt_in_recs & known_user) / gt_users_j.shape[0]
+
+    covered = jnp.zeros((num_items,), dtype=jnp.int32).at[recs.reshape(-1)].set(1)
+    coverage = jnp.sum(covered) / num_items
+    return float(precision), float(recall), float(coverage)
+
+
+def get_metrics_at_k(
+    user_emb: jax.Array,
+    item_emb: jax.Array,
+    ground_truth: Tuple[np.ndarray, np.ndarray],
+    already_bought: Optional[Tuple[np.ndarray, np.ndarray]],
+    k: int,
+    remove_already_bought: bool = True,
+    score_fn=None,
+    popularity: Optional[jax.Array] = None,
+    weight_popularity: float = 1.0,
+) -> Tuple[float, float, float]:
+    """End-to-end metric computation (reference ``get_metrics_at_k``,
+    src/metrics.py:110-134): recs for the unique ground-truth users, then
+    precision/recall/coverage."""
+    gt_users, gt_items = ground_truth
+    user_ids = jnp.asarray(np.unique(np.asarray(gt_users)), dtype=jnp.int32)
+    num_items = item_emb.shape[0]
+    already_table = None
+    if already_bought is not None:
+        already_table = build_edge_hash(already_bought[0], already_bought[1])
+    recs = get_recs(
+        user_emb,
+        item_emb,
+        user_ids,
+        k,
+        already_bought=already_table,
+        remove_already_bought=remove_already_bought,
+        score_fn=score_fn,
+        popularity=popularity,
+        weight_popularity=weight_popularity,
+    )
+    return recs_to_metrics(recs, user_ids, gt_users, gt_items, num_items)
+
+
+def mrr_neg_edges(
+    pos_score: jax.Array,
+    neg_score: jax.Array,
+) -> jax.Array:
+    """Mean reciprocal rank of each positive among its negatives
+    (reference ``MRR_neg_edges``, src/metrics.py:137-157).
+
+    pos_score: [B]; neg_score: [B, S].
+    """
+    rankings = jnp.sum(neg_score >= pos_score[:, None], axis=1) + 1
+    return jnp.mean(1.0 / rankings)

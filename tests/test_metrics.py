@@ -1,0 +1,150 @@
+"""Retrieval + metric tests vs brute-force dict oracles
+(semantics of /root/reference/src/metrics.py)."""
+
+from collections import defaultdict
+
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_recsys_tpu.ops.edge_hash import build_edge_hash
+from gnn_recsys_tpu.retrieval.metrics import (
+    get_metrics_at_k,
+    mrr_neg_edges,
+    recs_to_metrics,
+)
+from gnn_recsys_tpu.retrieval.recs import get_recs
+
+
+def _norm(x):
+    n = np.linalg.norm(x, axis=-1, keepdims=True)
+    return x / np.maximum(n, 1e-12)
+
+
+def oracle_recs(user_emb, item_emb, user_ids, k, already, use_pop=False,
+                pop=None, w=1.0):
+    """Reference-faithful per-user loop (src/metrics.py:31-78)."""
+    recs, scores = {}, {}
+    un, inorm = _norm(user_emb), _norm(item_emb)
+    for u in user_ids:
+        ratings = inorm @ un[u]
+        if use_pop:
+            e = np.exp(ratings - ratings.max())
+            ratings = e / e.sum() + pop * w
+        order = np.argsort(-ratings, kind="stable")
+        order = [i for i in order if i not in already.get(u, [])]
+        recs[u] = order[:k]
+        scores[u] = ratings
+    return recs, scores
+
+
+def oracle_metrics(recs, gt_dict, num_items):
+    k_rel = k_tot = 0
+    for uid, iids in recs.items():
+        k_tot += len(iids)
+        k_rel += len([i for i in iids if i in gt_dict[uid]])
+    precision = k_rel / k_tot
+    k_rel = k_tot = 0
+    for uid, iids in recs.items():
+        k_tot += len(gt_dict[uid])
+        k_rel += len([i for i in gt_dict[uid] if i in iids])
+    recall = k_rel / k_tot
+    flat = [i for ii in recs.values() for i in ii]
+    coverage = len(set(flat)) / num_items
+    return precision, recall, coverage
+
+
+def make_case(seed=0, num_users=30, num_items=25, d=8, k=5):
+    rng = np.random.default_rng(seed)
+    ue = rng.normal(size=(num_users, d)).astype(np.float32)
+    ie = rng.normal(size=(num_items, d)).astype(np.float32)
+    gt_u = rng.integers(0, num_users, 60).astype(np.int32)
+    gt_i = rng.integers(0, num_items, 60).astype(np.int32)
+    ab_u = rng.integers(0, num_users, 40).astype(np.int32)
+    ab_i = rng.integers(0, num_items, 40).astype(np.int32)
+    return ue, ie, gt_u, gt_i, ab_u, ab_i, k
+
+
+def assert_recs_equivalent(got, want, scores, user_ids, already, tol=1e-5):
+    """Allow rank swaps only where oracle scores are within float tolerance."""
+    for row, u in enumerate(user_ids):
+        got_row, want_row = got[row].tolist(), list(want[u])
+        banned = set(already.get(u, []))
+        assert not (set(got_row) & banned), f"user {u}: already-bought leaked"
+        gs = np.sort(scores[u][got_row])[::-1]
+        ws = np.sort(scores[u][want_row])[::-1]
+        np.testing.assert_allclose(gs, ws, atol=tol, rtol=0,
+                                   err_msg=f"user {u}")
+
+
+def test_get_recs_matches_oracle():
+    ue, ie, gt_u, gt_i, ab_u, ab_i, k = make_case()
+    user_ids = np.unique(gt_u)
+    already = defaultdict(list)
+    for u, i in zip(ab_u.tolist(), ab_i.tolist()):
+        already[u].append(i)
+    table = build_edge_hash(ab_u, ab_i)
+    got = np.asarray(
+        get_recs(jnp.asarray(ue), jnp.asarray(ie),
+                 jnp.asarray(user_ids, jnp.int32), k,
+                 already_bought=table, chunk_size=8)
+    )
+    want, scores = oracle_recs(ue, ie, user_ids, k, already)
+    assert_recs_equivalent(got, want, scores, user_ids, already)
+
+
+def test_get_recs_popularity_boost():
+    ue, ie, gt_u, gt_i, ab_u, ab_i, k = make_case(seed=3)
+    pop = np.random.default_rng(4).uniform(0, 0.1, ie.shape[0]).astype(np.float32)
+    user_ids = np.unique(gt_u)
+    got = np.asarray(
+        get_recs(jnp.asarray(ue), jnp.asarray(ie),
+                 jnp.asarray(user_ids, jnp.int32), k,
+                 remove_already_bought=False,
+                 popularity=jnp.asarray(pop), weight_popularity=2.0,
+                 chunk_size=16)
+    )
+    want, scores = oracle_recs(ue, ie, user_ids, k, {}, use_pop=True, pop=pop,
+                               w=2.0)
+    assert_recs_equivalent(got, want, scores, user_ids, {}, tol=1e-4)
+
+
+def test_metrics_match_oracle():
+    ue, ie, gt_u, gt_i, ab_u, ab_i, k = make_case(seed=7)
+    num_items = ie.shape[0]
+    user_ids = np.unique(gt_u)
+    already = defaultdict(list)
+    for u, i in zip(ab_u.tolist(), ab_i.tolist()):
+        already[u].append(i)
+    gt_dict = defaultdict(list)
+    for u, i in zip(gt_u.tolist(), gt_i.tolist()):
+        gt_dict[u].append(i)
+
+    p, r, c = get_metrics_at_k(
+        jnp.asarray(ue), jnp.asarray(ie), (gt_u, gt_i), (ab_u, ab_i), k
+    )
+    want_recs, _ = oracle_recs(ue, ie, user_ids, k, already)
+    wp, wr, wc = oracle_metrics(want_recs, gt_dict, num_items)
+    np.testing.assert_allclose([p, r, c], [wp, wr, wc], atol=2e-2)
+    # exact-count agreement on precision/recall numerators is fragile only
+    # under float ties; require closeness above and exact coverage:
+    assert abs(c - wc) < 1e-6
+
+
+def test_recs_to_metrics_duplicate_gt_pairs():
+    # Duplicated ground-truth pairs are counted per-pair (reference lists).
+    recs = jnp.asarray([[1, 2], [3, 4]])
+    user_ids = jnp.asarray([0, 1])
+    gt_u = np.array([0, 0, 1])
+    gt_i = np.array([1, 1, 9])
+    p, r, c = recs_to_metrics(recs, user_ids, gt_u, gt_i, num_items=10)
+    assert abs(r - 2 / 3) < 1e-6
+    assert abs(p - 1 / 4) < 1e-6
+    assert abs(c - 4 / 10) < 1e-6
+
+
+def test_mrr():
+    pos = jnp.asarray([1.0, 0.0])
+    neg = jnp.asarray([[0.5, 2.0, 0.1], [1.0, -1.0, 0.5]])
+    # rank of pos[0]: 1 neg >= 1.0 -> rank 2 ; pos[1]: 2 negs >= 0 -> rank 3
+    got = float(mrr_neg_edges(pos, neg))
+    np.testing.assert_allclose(got, (1 / 2 + 1 / 3) / 2, rtol=1e-6)
