@@ -24,6 +24,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from gnn_recsys_tpu.graph.hetero import CanonicalEtype, HeteroGraph
@@ -225,8 +226,206 @@ class ConvModel(nn.Module):
         return h
 
     # ------------------------------------------------------------------
+    # Sampled-tree minibatch forward
+    # ------------------------------------------------------------------
+    def sampled_repr(
+        self,
+        graph: HeteroGraph,
+        features: Dict[str, jax.Array],
+        seeds: Dict[str, jax.Array],
+        fanouts: Tuple[int, ...],
+        rng: jax.Array,
+        exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Minibatch representations via recursive sampled neighbor trees.
+
+        The TPU-native replacement for DGL's block-based minibatch forward
+        (reference ``get_repr`` over sampled blocks, src/model.py:415-421 +
+        src/sampling.py:117-243): instead of compacting sampled subgraphs
+        into new node id spaces (dynamic shapes), each seed expands a
+        static-shape PinSAGE-style tree of global node ids — layer ``l``
+        gathers ``fanouts[l-1]`` neighbors per node, recursion depth equals
+        the number of conv layers, and all gathers read the device-resident
+        global graph/feature tables directly.
+
+        seeds: ntype -> int32 ids of any shape.
+        fanouts: one entry per conv layer, in execution order (first conv =
+            deepest hop); ``-1`` means take the full padded neighbor row
+            (the reference's 'full' sampler).
+        exclude_eids: etype -> SORTED edge ids to exclude from sampled
+            neighborhoods (minibatch edges; reverse relations share edge ids
+            by builder invariant, so passing the same ids for the reverse
+            etype reproduces ``exclude='reverse_types'``).
+        Returns ntype -> [*seed_shape, out_dim].
+        """
+        from gnn_recsys_tpu.ops.sampling import sample_neighbors
+
+        n_layers = len(self.layers)
+        if len(fanouts) != n_layers:
+            raise ValueError(
+                f"fanouts has {len(fanouts)} entries, model has {n_layers} "
+                f"conv layers"
+            )
+
+        def base_h(ntype: str, ids: jax.Array) -> jax.Array:
+            x = jnp.take(features[ntype], ids.reshape(-1), axis=0)
+            x = x.reshape(*ids.shape, x.shape[-1])
+            if self.embedding_layer and ntype in self.embed:
+                x = self.embed[ntype](x)
+            return x
+
+        def h_level(level: int, ntype: str, ids: jax.Array, key: jax.Array):
+            if level == 0:
+                return base_h(ntype, ids)
+            layer_dict = self.layers[level - 1]
+            fanout = fanouts[level - 1]
+            in_etypes = [
+                et
+                for et in graph.canonical_etypes
+                if et[2] == ntype and _etype_key(et) in layer_dict
+            ]
+            keys = jax.random.split(key, 2 * len(in_etypes) + 1)
+            h_self = h_level(level - 1, ntype, ids, keys[-1])
+            zs = []
+            for j, etype in enumerate(in_etypes):
+                layer = layer_dict[_etype_key(etype)]
+                rel = graph.rels[etype]
+                excl = None
+                if exclude_eids is not None and etype in exclude_eids:
+                    excl = exclude_eids[etype]
+                nbr, eid, mask = sample_neighbors(
+                    rel,
+                    ids,
+                    fanout=max(fanout, 1),
+                    rng=keys[2 * j],
+                    mode="full" if fanout == -1 else "uniform",
+                    exclude_sorted_eids=excl,
+                )
+                h_nbr = h_level(level - 1, etype[0], nbr, keys[2 * j + 1])
+                h_nbr = layer.transform_src(h_nbr, deterministic=deterministic)
+
+                edge_weight = None
+                if (
+                    layer.edge_weighted
+                    and etype[0] in ("user", "item")
+                    and etype[2] in ("user", "item")
+                    and "occurrence" in rel.edata
+                ):
+                    w = jnp.take(
+                        rel.edata["occurrence"].astype(h_nbr.dtype), eid, axis=0
+                    )
+                    edge_weight = w
+
+                msgs = h_nbr
+                if edge_weight is not None:
+                    msgs = msgs * edge_weight[..., None]
+                reducer = layer.reducer
+                if reducer == "mean":
+                    m = mask[..., None].astype(msgs.dtype)
+                    total = jnp.sum(msgs * m, axis=-2)
+                    count = jnp.sum(mask.astype(msgs.dtype), axis=-1)
+                    agg = total / jnp.maximum(count, 1.0)[..., None]
+                elif reducer == "max":
+                    neg = jnp.asarray(-jnp.inf, dtype=msgs.dtype)
+                    agg = jnp.max(
+                        jnp.where(mask[..., None], msgs, neg), axis=-2
+                    )
+                    agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
+                else:  # lstm
+                    k = msgs.shape[-2]
+                    d = msgs.shape[-1]
+                    flat_msgs = jnp.where(
+                        mask[..., None], msgs, 0.0
+                    ).reshape(-1, k, d)
+                    flat_mask = mask.reshape(-1, k)
+                    agg = layer.lstm_reduce(flat_msgs, flat_mask).reshape(
+                        *ids.shape, d
+                    )
+                zs.append(layer.combine(h_self, agg, deterministic=deterministic))
+            if not zs:
+                raise ValueError(f"node type {ntype} has no incoming etypes")
+            return self._cross_etype_reduce(jnp.stack(zs, axis=0))
+
+        out = {}
+        keys = jax.random.split(rng, max(len(seeds), 1))
+        for i, (ntype, ids) in enumerate(seeds.items()):
+            out[ntype] = h_level(n_layers, ntype, ids, keys[i])
+        return out
+
+    # ------------------------------------------------------------------
     # Scoring
     # ------------------------------------------------------------------
+    def score_emb_pairs(
+        self, emb_u: jax.Array, emb_v: jax.Array
+    ) -> jax.Array:
+        """Score already-computed embedding pairs (broadcasting shapes).
+
+        Cosine (reference src/model.py:317-327) or MLP head
+        (src/model.py:275-305) on the last axis.
+        """
+        if self.pred == "cos":
+            return jnp.sum(
+                l2_normalize(emb_u) * l2_normalize(emb_v), axis=-1
+            )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(emb_u, jnp.broadcast_shapes(emb_u.shape, emb_v.shape)),
+             jnp.broadcast_to(emb_v, jnp.broadcast_shapes(emb_u.shape, emb_v.shape))],
+            axis=-1,
+        )
+        return self.pred_layer(x)[..., 0]
+
+    def minibatch_forward(
+        self,
+        graph: HeteroGraph,
+        features: Dict[str, jax.Array],
+        batch: Dict[CanonicalEtype, Tuple[jax.Array, jax.Array]],
+        neg_pool: jax.Array,
+        neg_idx: Dict[CanonicalEtype, jax.Array],
+        fanouts: Tuple[int, ...],
+        rng: jax.Array,
+        exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
+        deterministic: bool = True,
+    ):
+        """Sampled-tree forward + scoring for one minibatch.
+
+        batch: etype -> (pos_u [B], pos_i [B]) user->item positive pairs.
+        neg_pool: [P] candidate negative item ids (shared across the batch —
+            the scalable variant of the reference's per-edge uniform
+            sampler; a uniformly drawn pool indexed uniformly is the same
+            marginal distribution).
+        neg_idx: etype -> [B, S] indices into ``neg_pool``.
+        Returns (pos_scores, neg_scores, neg_dst) dicts per etype.
+        """
+        etypes = list(batch.keys())
+        pos_us = [batch[et][0] for et in etypes]
+        pos_is = [batch[et][1] for et in etypes]
+        user_ids = jnp.concatenate(pos_us)
+        item_ids = jnp.concatenate(pos_is + [neg_pool])
+        reprs = self.sampled_repr(
+            graph,
+            features,
+            {"user": user_ids, "item": item_ids},
+            fanouts,
+            rng,
+            exclude_eids=exclude_eids,
+            deterministic=deterministic,
+        )
+        # All shapes are static, so plain slicing compiles cleanly.
+        pos_scores, neg_scores, neg_dsts = {}, {}, {}
+        offsets = np.cumsum([0] + [int(p.shape[0]) for p in pos_us]).tolist()
+        pool_emb = reprs["item"][offsets[-1]:]
+        for j, et in enumerate(etypes):
+            lo, hi = offsets[j], offsets[j + 1]
+            ue = reprs["user"][lo:hi]
+            ie = reprs["item"][lo:hi]
+            pos_scores[et] = self.score_emb_pairs(ue, ie)
+            idx = neg_idx[et]  # [B, S]
+            ne = jnp.take(pool_emb, idx, axis=0)  # [B, S, D]
+            neg_scores[et] = self.score_emb_pairs(ue[:, None, :], ne)
+            neg_dsts[et] = jnp.take(neg_pool, idx, axis=0)
+        return pos_scores, neg_scores, neg_dsts
+
     def score_pairs(
         self,
         h: Dict[str, jax.Array],

@@ -192,7 +192,7 @@ class ConvLayer(nn.Module):
         z = self.fc_self(h_self) + self.fc_neigh(h_neigh_agg)
         z = nn.relu(z)
         if self.norm:
-            z_norm = jnp.linalg.norm(z, ord=2, axis=1, keepdims=True)
+            z_norm = jnp.linalg.norm(z, ord=2, axis=-1, keepdims=True)
             z_norm = jnp.where(z_norm == 0.0, 1.0, z_norm)
             z = z / z_norm
         return z

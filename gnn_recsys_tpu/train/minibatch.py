@@ -1,0 +1,422 @@
+"""Minibatch training loop over sampled neighbor trees.
+
+TPU-native re-design of the reference's hot loop
+(``/root/reference/src/train/run.py:11-308``): where the reference runs DGL
+edge dataloaders in CPU worker processes, transfers blocks host->device per
+batch, and queries the graph on the host for the false-negative mask, here
+the entire step — neighbor sampling, negative sampling, false-negative
+masking, forward, loss, optimizer update — is one jit-compiled function over
+the device-resident graph; the host only slices shuffled edge arrays.
+
+Semantics kept from the reference loop:
+  * epoch 0 is a loss-report-only pass over at most 10 batches with no
+    optimizer step (run.py:136-142);
+  * a validation-loss pass per epoch over held-out edges, with
+    neighborhoods sampled from the TRAIN graph (run.py:147-201 /
+    sampling.py:196-207);
+  * precision/recall/coverage on a cadence (``epoch % 10 == 1`` in the
+    reference, run.py:205-277);
+  * early stopping on validation loss with patience (run.py:285-291) and
+    best-by-validation-recall tracking (run.py:275-277);
+  * minibatch edges (and their reverses — reverse relations share edge
+    ids by builder invariant) are excluded from sampled neighborhoods
+    (sampling.py:181-194);
+  * training positives can be recency-weighted in the loss.
+
+Negative sampling: ``neg_mode='per_edge'`` draws ``neg_sample_size``
+uniform destinations per positive and embeds each (exact reference
+semantics, feasible on small graphs); ``neg_mode='shared_pool'`` draws one
+uniform pool of ``neg_pool_size`` items per step and each positive scores
+``neg_sample_size`` uniform picks from it — same marginal distribution,
+O(pool) instead of O(B*S) embedding cost (the design the multi-chip path
+shards).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gnn_recsys_tpu.graph.hetero import CanonicalEtype, HeteroGraph
+from gnn_recsys_tpu.models.conv_model import ConvModel
+from gnn_recsys_tpu.models.loss import max_margin_loss
+from gnn_recsys_tpu.ops.edge_hash import build_edge_hash, edge_hash_lookup
+from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
+from gnn_recsys_tpu.train.full_batch import TrainState, init_model
+
+# Reference reverse-etype names (src/utils_data.py:75-97 reverse map).
+REVERSE_NAMES = {
+    "buys": "bought-by",
+    "bought-by": "buys",
+    "clicks": "clicked-by",
+    "clicked-by": "clicks",
+    "practices": "practiced-by",
+    "practiced-by": "practices",
+    "utilizes": "utilized-by",
+    "utilized-by": "utilizes",
+}
+
+
+@dataclasses.dataclass
+class MinibatchConfig:
+    """Searchable + fixed hyperparameters of the minibatch regime
+    (reference defaults: main.py:485-511, src/utils_data.py:23-116)."""
+
+    edge_batch_size: int = 2048
+    fanouts: Tuple[int, ...] = (-1, -1)  # -1 = full padded neighbor row
+    neg_sample_size: int = 63
+    neg_mode: str = "shared_pool"  # 'shared_pool' | 'per_edge'
+    neg_pool_size: int = 1024
+    delta: float = 0.266
+    lr: float = 1e-3
+    num_epochs: int = 50
+    remove_false_negative: bool = True
+    use_recency: bool = False
+    exclude_batch_edges: bool = True
+    k: int = 10
+    metrics_every: int = 10  # reference: epoch % 10 == 1
+    patience: int = 3
+    seed: int = 11
+
+
+class _EdgeStore:
+    """Host-side per-etype COO copies for fast batch slicing."""
+
+    def __init__(self, graph: HeteroGraph, etypes):
+        self.src = {et: np.asarray(graph.rels[et].src) for et in etypes}
+        self.dst = {et: np.asarray(graph.rels[et].dst) for et in etypes}
+        self.recency = {
+            et: np.asarray(graph.rels[et].edata["recency"])
+            if "recency" in graph.rels[et].edata
+            else np.ones_like(self.src[et], dtype=np.float32)
+            for et in etypes
+        }
+
+
+def iter_edge_batches(
+    rng: np.random.Generator,
+    eids: Dict[CanonicalEtype, np.ndarray],
+    batch_size: int,
+):
+    """Proportional per-etype slices, shuffled each epoch, wrapping at the
+    end so every batch has a static shape."""
+    etypes = list(eids.keys())
+    counts = {et: len(eids[et]) for et in etypes}
+    total = sum(counts.values())
+    per_et = {
+        et: max(1, int(round(batch_size * counts[et] / max(total, 1))))
+        for et in etypes
+    }
+    n_batches = max(1, int(np.ceil(total / batch_size)))
+    perms = {et: rng.permutation(eids[et]) for et in etypes}
+    for b in range(n_batches):
+        batch = {}
+        for et in etypes:
+            n = per_et[et]
+            idx = np.arange(b * n, (b + 1) * n) % max(counts[et], 1)
+            batch[et] = perms[et][idx]
+        yield batch
+
+
+def make_minibatch_step(
+    model: ConvModel,
+    cfg: MinibatchConfig,
+    train_etypes: Tuple[CanonicalEtype, ...],
+    with_update: bool,
+    with_exclusion: bool,
+    has_reverse: Dict[CanonicalEtype, bool],
+) -> Callable:
+    """Build the jit'd minibatch step.
+
+    Signature:
+      (state, graph, features, batch, edge_tables, rng) -> (state, loss)
+    where batch maps etype -> dict with 'u' [B], 'i' [B], 'recency' [B] and
+    (when with_exclusion) 'eids' [B] edge ids into the sampling graph.
+    """
+
+    def step(state, graph, features, batch, edge_tables, rng):
+        num_items = graph.num_nodes("item")
+        r_pool, r_idx, r_tree, r_drop = jax.random.split(rng, 4)
+
+        pairs = {et: (batch[et]["u"], batch[et]["i"]) for et in train_etypes}
+        recency = {et: batch[et]["recency"] for et in train_etypes}
+        exclude = None
+        if with_exclusion:
+            exclude = {}
+            for et in train_etypes:
+                sorted_eids = jnp.sort(batch[et]["eids"])
+                exclude[et] = sorted_eids
+                rev = (et[2], REVERSE_NAMES.get(et[1], et[1]), et[0])
+                if has_reverse[et]:
+                    exclude[rev] = sorted_eids
+
+        if cfg.neg_mode == "shared_pool":
+            pool = jax.random.randint(
+                r_pool, (cfg.neg_pool_size,), 0, num_items, dtype=jnp.int32
+            )
+        else:  # per_edge: the "pool" holds every independently drawn negative
+            total = sum(int(pairs[et][0].shape[0]) for et in train_etypes)
+            pool = jax.random.randint(
+                r_pool,
+                (total * cfg.neg_sample_size,),
+                0,
+                num_items,
+                dtype=jnp.int32,
+            )
+        neg_idx = {}
+        idx_keys = jax.random.split(r_idx, len(train_etypes))
+        offset = 0
+        for j, et in enumerate(train_etypes):
+            b = int(pairs[et][0].shape[0])
+            if cfg.neg_mode == "shared_pool":
+                neg_idx[et] = jax.random.randint(
+                    idx_keys[j], (b, cfg.neg_sample_size), 0,
+                    cfg.neg_pool_size, dtype=jnp.int32,
+                )
+            else:
+                neg_idx[et] = (
+                    jnp.arange(b * cfg.neg_sample_size, dtype=jnp.int32)
+                    .reshape(b, cfg.neg_sample_size)
+                    + offset
+                )
+                offset += b * cfg.neg_sample_size
+
+        def loss_fn(params):
+            deterministic = not with_update
+            pos_s, neg_s, neg_dst = model.apply(
+                params,
+                graph,
+                features,
+                pairs,
+                pool,
+                neg_idx,
+                cfg.fanouts,
+                r_tree,
+                exclude_eids=exclude,
+                deterministic=deterministic,
+                method="minibatch_forward",
+                rngs={} if deterministic else {"dropout": r_drop},
+            )
+            neg_mask = None
+            if cfg.remove_false_negative:
+                neg_mask = {}
+                for et in train_etypes:
+                    ns = jnp.broadcast_to(
+                        pairs[et][0][:, None], neg_dst[et].shape
+                    )
+                    neg_mask[et] = edge_hash_lookup(
+                        edge_tables[et], ns, neg_dst[et]
+                    ).astype(jnp.float32)
+            return max_margin_loss(
+                pos_s,
+                neg_s,
+                delta=cfg.delta,
+                negative_mask=neg_mask,
+                recency_scores=recency if cfg.use_recency else None,
+            )
+
+        if with_update:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            state = state.apply_gradients(grads=grads)
+        else:
+            loss = loss_fn(state.params)
+        return state, loss
+
+    return jax.jit(step, donate_argnums=(0,) if with_update else ())
+
+
+def compute_embeddings_minibatch(
+    model: ConvModel,
+    params,
+    graph: HeteroGraph,
+    features: Dict[str, jax.Array],
+    node_batch_size: int = 128,
+    fanouts: Optional[Tuple[int, ...]] = None,
+    ntypes: Optional[Tuple[str, ...]] = None,
+) -> Dict[str, jax.Array]:
+    """Batched node-loader embedding inference (reference ``get_embeddings``,
+    src/train/run.py:311-349): preallocate per-ntype output tables, run the
+    sampled-tree forward over node-id chunks, scatter rows by global id."""
+    if fanouts is None:
+        fanouts = tuple([-1] * model.num_conv_layers)
+
+    @jax.jit
+    def run_chunk(params, ids_by_ntype, rng):
+        def fwd(mdl):
+            return mdl.sampled_repr(
+                graph, features, ids_by_ntype, fanouts, rng,
+                deterministic=True,
+            )
+
+        return model.apply(params, method=fwd)
+
+    out = {}
+    rng = jax.random.PRNGKey(0)
+    for ntype in ntypes or graph.ntypes:
+        n = graph.num_nodes(ntype)
+        table = np.zeros((n, model.out_dim), dtype=np.float32)
+        c = min(node_batch_size, n)
+        for start in range(0, n, c):
+            ids = np.arange(start, min(start + c, n), dtype=np.int32)
+            pad = c - len(ids)
+            ids_p = np.concatenate([ids, np.zeros(pad, np.int32)])
+            h = run_chunk(params, {ntype: jnp.asarray(ids_p)}, rng)[ntype]
+            table[ids] = np.asarray(h)[: len(ids)]
+        out[ntype] = jnp.asarray(table)
+    return out
+
+
+def train_minibatch(
+    model: ConvModel,
+    train_graph: HeteroGraph,
+    full_graph: HeteroGraph,
+    features: Dict[str, jax.Array],
+    train_eids: Dict[CanonicalEtype, np.ndarray],
+    valid_eids: Optional[Dict[CanonicalEtype, np.ndarray]],
+    cfg: MinibatchConfig,
+    test_ground_truth: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    already_bought: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    verbose: bool = False,
+    state: Optional[TrainState] = None,
+):
+    """Run the reference training regime end to end. Returns (state, history).
+
+    ``train_eids`` index into ``train_graph`` relations; ``valid_eids``
+    index into ``full_graph`` relations (held-out edges, removed from the
+    train graph).
+    """
+    if state is None:
+        params = init_model(model, train_graph, features, seed=cfg.seed)
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=optax.adam(cfg.lr)
+        )
+    train_etypes = tuple(train_eids.keys())
+    has_reverse = {
+        et: (et[2], REVERSE_NAMES.get(et[1], et[1]), et[0]) in train_graph.rels
+        for et in train_etypes
+    }
+    train_step = make_minibatch_step(
+        model, cfg, train_etypes, with_update=True,
+        with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
+    )
+    smoke_step = make_minibatch_step(
+        model, cfg, train_etypes, with_update=False,
+        with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
+    )
+    valid_etypes = tuple(valid_eids.keys()) if valid_eids else ()
+    valid_step = make_minibatch_step(
+        model, cfg, valid_etypes, with_update=False,
+        with_exclusion=False, has_reverse=has_reverse,
+    )
+
+    train_store = _EdgeStore(train_graph, train_etypes)
+    valid_store = _EdgeStore(full_graph, valid_etypes)
+
+    # False negatives masked against the FULL (train+valid) edge set
+    # (reference queries valid_graph, run.py:100).
+    edge_tables = {
+        et: build_edge_hash(
+            np.asarray(full_graph.rels[et].src),
+            np.asarray(full_graph.rels[et].dst),
+        )
+        for et in set(train_etypes) | set(valid_etypes)
+    }
+
+    def make_batch(store: _EdgeStore, batch_np, with_eids: bool):
+        out = {}
+        for et, eids in batch_np.items():
+            d = {
+                "u": jnp.asarray(store.src[et][eids], jnp.int32),
+                "i": jnp.asarray(store.dst[et][eids], jnp.int32),
+                "recency": jnp.asarray(store.recency[et][eids], jnp.float32),
+            }
+            if with_eids:
+                d["eids"] = jnp.asarray(eids, jnp.int32)
+            out[et] = d
+        return out
+
+    host_rng = np.random.default_rng(cfg.seed)
+    rng = jax.random.PRNGKey(cfg.seed)
+    history = {
+        "train_loss": [], "valid_loss": [], "recall": [], "precision": [],
+        "coverage": [], "epoch_time": [],
+    }
+    best_val, best_epoch, best_recall = np.inf, 0, -1.0
+    for epoch in range(cfg.num_epochs):
+        t0 = time.perf_counter()
+        losses = []
+        for bi, batch_np in enumerate(
+            iter_edge_batches(host_rng, train_eids, cfg.edge_batch_size)
+        ):
+            if epoch == 0 and bi >= 10:
+                break  # epoch-0 smoke pass (run.py:136-142)
+            batch = make_batch(train_store, batch_np, with_eids=True)
+            rng, sub = jax.random.split(rng)
+            step = smoke_step if epoch == 0 else train_step
+            state, loss = step(
+                state, train_graph, features, batch, edge_tables, sub
+            )
+            losses.append(float(loss))
+        history["train_loss"].append(float(np.mean(losses)))
+
+        val_loss = None
+        if valid_eids:
+            vlosses = []
+            for batch_np in iter_edge_batches(
+                host_rng, valid_eids, cfg.edge_batch_size
+            ):
+                batch = make_batch(valid_store, batch_np, with_eids=False)
+                rng, sub = jax.random.split(rng)
+                # Held-out pairs scored over TRAIN-graph neighborhoods
+                # (reference g_sampling, sampling.py:196-207).
+                _, loss = valid_step(
+                    state, train_graph, features, batch, edge_tables, sub
+                )
+                vlosses.append(float(loss))
+            val_loss = float(np.mean(vlosses))
+            history["valid_loss"].append(val_loss)
+
+        history["epoch_time"].append(time.perf_counter() - t0)
+
+        if (
+            test_ground_truth is not None
+            and cfg.metrics_every
+            and epoch % cfg.metrics_every == 1
+        ):
+            h = compute_embeddings_minibatch(
+                model, state.params, train_graph, features,
+                ntypes=("user", "item"),
+            )
+            precision, recall, coverage = get_metrics_at_k(
+                h["user"], h["item"], test_ground_truth, already_bought, cfg.k
+            )
+            history["recall"].append(recall)
+            history["precision"].append(precision)
+            history["coverage"].append(coverage)
+            best_recall = max(best_recall, recall)
+            if verbose:
+                print(
+                    f"epoch {epoch}: train_loss={history['train_loss'][-1]:.4f}"
+                    f" val_loss={val_loss} recall@{cfg.k}={recall:.4f}"
+                )
+        elif verbose:
+            print(
+                f"epoch {epoch}: train_loss={history['train_loss'][-1]:.4f}"
+                f" val_loss={val_loss}"
+            )
+
+        # Early stopping on validation loss (run.py:285-291).
+        if val_loss is not None and epoch > 0:
+            if val_loss < best_val:
+                best_val, best_epoch = val_loss, epoch
+            elif epoch - best_epoch >= cfg.patience:
+                if verbose:
+                    print(f"early stop at epoch {epoch}")
+                break
+    return state, history

@@ -1,0 +1,123 @@
+"""Minibatch trainer tests: e2e learning, embedding-inference parity,
+epoch-0 semantics, per-edge vs shared-pool negatives."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_recsys_tpu.models.conv_model import ConvModel
+from gnn_recsys_tpu.retrieval.metrics import recs_to_metrics
+from gnn_recsys_tpu.train.full_batch import compute_embeddings
+from gnn_recsys_tpu.train.minibatch import (
+    MinibatchConfig,
+    compute_embeddings_minibatch,
+    iter_edge_batches,
+    train_minibatch,
+)
+from gnn_recsys_tpu.utils.synthetic import make_synthetic_data
+
+ET_BUYS = ("user", "buys", "item")
+ET_CLICKS = ("user", "clicks", "item")
+
+
+def _setup(num_users=100, num_items=50, seed=0):
+    data = make_synthetic_data(
+        num_users=num_users, num_items=num_items, num_groups=4,
+        interactions_per_user=8, test_per_user=3, feat_dim=8,
+        with_clicks=True, seed=seed,
+    )
+    g = data.graph
+    model = ConvModel(
+        canonical_etypes=g.canonical_etypes,
+        dims=(("user", 8), ("item", 8), ("hidden", 32), ("out", 16)),
+        n_layers=3, aggregator_type="mean", pred="cos",
+    )
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    return data, g, model, feats
+
+
+def test_iter_edge_batches_covers_and_wraps():
+    rng = np.random.default_rng(0)
+    eids = {ET_BUYS: np.arange(100), ET_CLICKS: np.arange(50)}
+    batches = list(iter_edge_batches(rng, eids, batch_size=60))
+    assert len(batches) == 3  # ceil(150/60)
+    for b in batches:
+        assert len(b[ET_BUYS]) == 40 and len(b[ET_CLICKS]) == 20
+    seen = np.concatenate([b[ET_BUYS] for b in batches])
+    assert len(np.unique(seen)) == 100  # every buy edge appears
+
+
+def test_minibatch_training_learns():
+    data, g, model, feats = _setup()
+    train_eids = {
+        et: np.arange(g.num_edges(et)) for et in (ET_BUYS, ET_CLICKS)
+    }
+    cfg = MinibatchConfig(
+        edge_batch_size=256, fanouts=(-1, -1), neg_sample_size=10,
+        neg_mode="shared_pool", neg_pool_size=64, lr=3e-3, num_epochs=12,
+        metrics_every=0, patience=100,
+    )
+    state, hist = train_minibatch(
+        model, g, g, feats, train_eids, None, cfg,
+    )
+    # epoch 0 is loss-only: epoch-1 loss should not differ wildly, and by
+    # the end the loss must have dropped vs the epoch-0 baseline.
+    assert hist["train_loss"][-1] < hist["train_loss"][0] * 0.7
+
+    h = compute_embeddings_minibatch(model, state.params, g, feats,
+                                     ntypes=("user", "item"))
+    gt_u, gt_i = data.test_ground_truth
+    user_ids = np.unique(gt_u)
+    from gnn_recsys_tpu.retrieval.recs import get_recs
+    recs = get_recs(h["user"], h["item"], jnp.asarray(user_ids, jnp.int32), 10)
+    _, recall, _ = recs_to_metrics(recs, jnp.asarray(user_ids), gt_u, gt_i,
+                                   data.num_items)
+    # popularity baseline on this graph is ~0.1; trained model must beat it
+    assert recall > 0.2, f"recall {recall}"
+
+
+def test_embedding_inference_matches_full_graph():
+    data, g, model, feats = _setup(num_users=40, num_items=25)
+    pairs = {ET_BUYS: (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))}
+    params = model.init(jax.random.PRNGKey(0), g, feats, pairs, pairs)
+    h_full = compute_embeddings(model, params, g, feats)
+    h_mb = compute_embeddings_minibatch(model, params, g, feats,
+                                        node_batch_size=16)
+    for nt in ("user", "item"):
+        np.testing.assert_allclose(
+            np.asarray(h_mb[nt]), np.asarray(h_full[nt]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_per_edge_negative_mode_runs():
+    data, g, model, feats = _setup(num_users=40, num_items=25)
+    train_eids = {ET_BUYS: np.arange(g.num_edges(ET_BUYS))}
+    cfg = MinibatchConfig(
+        edge_batch_size=64, fanouts=(-1, -1), neg_sample_size=5,
+        neg_mode="per_edge", num_epochs=3, metrics_every=0, patience=100,
+    )
+    state, hist = train_minibatch(model, g, g, feats, train_eids, None, cfg)
+    assert np.isfinite(hist["train_loss"]).all()
+
+
+def test_validation_and_early_stopping():
+    data, g, model, feats = _setup(num_users=60, num_items=30)
+    n_buys = g.num_edges(ET_BUYS)
+    split = int(n_buys * 0.9)
+    from gnn_recsys_tpu.graph.hetero import remove_edges
+
+    valid = {ET_BUYS: np.arange(split, n_buys)}
+    rev = ("item", "bought-by", "user")
+    train_g = remove_edges(g, {ET_BUYS: valid[ET_BUYS], rev: valid[ET_BUYS]})
+    train_eids = {ET_BUYS: np.arange(split)}
+    cfg = MinibatchConfig(
+        edge_batch_size=128, fanouts=(-1, -1), neg_sample_size=8,
+        neg_mode="shared_pool", neg_pool_size=32, num_epochs=8,
+        metrics_every=0, patience=2,
+    )
+    state, hist = train_minibatch(
+        model, train_g, g, feats, train_eids, valid, cfg,
+    )
+    assert len(hist["valid_loss"]) == len(hist["train_loss"])
+    assert np.isfinite(hist["valid_loss"]).all()

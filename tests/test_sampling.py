@@ -1,0 +1,145 @@
+"""Neighbor-sampling op tests + sampled-tree vs full-graph parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_recsys_tpu.models.conv_model import ConvModel
+from gnn_recsys_tpu.ops.sampling import sample_neighbors
+from gnn_recsys_tpu.utils.synthetic import make_synthetic_data
+
+ET_BUYS = ("user", "buys", "item")
+
+
+@pytest.fixture(scope="module")
+def data():
+    return make_synthetic_data(
+        num_users=30, num_items=20, num_groups=3, interactions_per_user=5,
+        with_clicks=True, with_sports=True, seed=2,
+    )
+
+
+def adj_sets(rel):
+    src, dst = np.asarray(rel.src), np.asarray(rel.dst)
+    out = {}
+    for s, d in zip(src.tolist(), dst.tolist()):
+        out.setdefault(d, set()).add(s)
+    return out
+
+
+def test_full_mode_returns_all_neighbors(data):
+    rel = data.graph.rels[ET_BUYS]
+    ids = jnp.arange(20, dtype=jnp.int32)
+    nbr, eid, mask = sample_neighbors(rel, ids, fanout=1, mode="full")
+    adj = adj_sets(rel)
+    for d in range(20):
+        got = set(np.asarray(nbr[d])[np.asarray(mask[d])].tolist())
+        assert got == adj.get(d, set())
+
+
+def test_uniform_mode_draws_valid_neighbors(data):
+    rel = data.graph.rels[ET_BUYS]
+    ids = jnp.arange(20, dtype=jnp.int32)
+    nbr, eid, mask = sample_neighbors(
+        rel, ids, fanout=6, rng=jax.random.PRNGKey(0), mode="uniform"
+    )
+    adj = adj_sets(rel)
+    deg = np.asarray(rel.deg)[:20]
+    for d in range(20):
+        if deg[d] == 0:
+            assert not np.asarray(mask[d]).any()
+        else:
+            assert np.asarray(mask[d]).all()
+            assert set(np.asarray(nbr[d]).tolist()) <= adj[d]
+    # eids point at real edges with the right endpoints
+    src, dst = np.asarray(rel.src), np.asarray(rel.dst)
+    for d in range(20):
+        for s_, e_, m_ in zip(np.asarray(nbr[d]), np.asarray(eid[d]),
+                              np.asarray(mask[d])):
+            if m_:
+                assert src[e_] == s_ and dst[e_] == d
+
+
+def test_exclusion_masks_edges(data):
+    rel = data.graph.rels[ET_BUYS]
+    ids = jnp.arange(20, dtype=jnp.int32)
+    # Exclude ALL edges of the first 5 destinations.
+    dst = np.asarray(rel.dst)
+    excl = np.sort(np.where(dst < 5)[0]).astype(np.int32)
+    nbr, eid, mask = sample_neighbors(
+        rel, ids, fanout=1, mode="full",
+        exclude_sorted_eids=jnp.asarray(excl),
+    )
+    m = np.asarray(mask)
+    assert not m[:5].any()
+    deg = np.asarray(rel.deg)[5:20]
+    assert (m[5:20].sum(axis=1) == deg).all()
+
+
+def _model_for(g, agg="mean", hetero="sum", n_layers=3):
+    return ConvModel(
+        canonical_etypes=g.canonical_etypes,
+        dims=(("user", 8), ("item", 8), ("sport", 8), ("hidden", 16),
+              ("out", 8)),
+        n_layers=n_layers,
+        aggregator_type=agg,
+        aggregator_hetero=hetero,
+        pred="cos",
+        dropout=0.0,
+    )
+
+
+@pytest.mark.parametrize("agg", ["mean", "pool_nn", "mean_edge"])
+@pytest.mark.parametrize("hetero", ["sum", "mean"])
+def test_sampled_full_fanout_matches_full_graph(data, agg, hetero):
+    """THE parity gate: recursion with full fanouts == layer-wise full pass."""
+    g = data.graph
+    model = _model_for(g, agg, hetero)
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    pairs = {ET_BUYS: (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))}
+    params = model.init(jax.random.PRNGKey(0), g, feats, pairs, pairs)
+
+    def full(mdl):
+        h = mdl.embed_features(feats)
+        return mdl.get_repr(g, h, deterministic=True)
+
+    h_full = model.apply(params, method=full)
+
+    seeds = {
+        "user": jnp.arange(g.num_nodes("user"), dtype=jnp.int32),
+        "item": jnp.arange(g.num_nodes("item"), dtype=jnp.int32),
+    }
+
+    def sampled(mdl):
+        return mdl.sampled_repr(
+            g, feats, seeds, (-1, -1), jax.random.PRNGKey(1),
+            deterministic=True,
+        )
+
+    h_samp = model.apply(params, method=sampled)
+    for nt in ("user", "item"):
+        np.testing.assert_allclose(
+            np.asarray(h_samp[nt]), np.asarray(h_full[nt]),
+            rtol=2e-4, atol=2e-5,
+        )
+
+
+def test_sampled_uniform_fanout_runs_and_is_seeded(data):
+    g = data.graph
+    model = _model_for(g)
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    pairs = {ET_BUYS: (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))}
+    params = model.init(jax.random.PRNGKey(0), g, feats, pairs, pairs)
+    seeds = {"user": jnp.asarray([0, 3, 7], jnp.int32)}
+
+    def sampled(mdl, key):
+        return mdl.sampled_repr(g, feats, seeds, (4, 4), key,
+                                deterministic=True)
+
+    h1 = model.apply(params, jax.random.PRNGKey(5), method=sampled)
+    h2 = model.apply(params, jax.random.PRNGKey(5), method=sampled)
+    h3 = model.apply(params, jax.random.PRNGKey(6), method=sampled)
+    np.testing.assert_allclose(np.asarray(h1["user"]), np.asarray(h2["user"]))
+    assert not np.allclose(np.asarray(h1["user"]), np.asarray(h3["user"]))
+    assert h1["user"].shape == (3, 8)
