@@ -1,0 +1,178 @@
+"""Typed configuration: paths, fixed parameters, searched hyperparameters.
+
+One dataclass tier replaces the reference's three config mechanisms
+(``DataPaths``/``FixedParameters`` hard-coded classes at
+``/root/reference/src/utils_data.py:10-116`` and the skopt search space at
+``main.py:450-511``), with JSON round-trip so hyperparameter search ->
+full training -> serving reuse exact configs (the reference used pickles,
+``main.py:409-415``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, Optional, Tuple
+
+# Item-id granularity (reference main.py:63-65).
+SPECIFIC = "specific_id"
+GENERAL = "general_id"
+
+# Reference embed-size name -> (out_dim, hidden_dim) map (main.py:86-89).
+EMBED_DIMS = {
+    "small": (32, 64),
+    "medium": (128, 256),
+    "large": (256, 512),
+}
+
+# Reference popularity-importance -> (use, weight, days) map (main.py:92-97).
+POPULARITY_IMPORTANCE = {
+    "no": (False, 0.0, 0),
+    "small": (True, 0.05, 50),
+    "medium": (True, 0.1, 100),
+    "large": (True, 0.2, 365),
+}
+
+
+@dataclasses.dataclass
+class ColumnConfig:
+    """Column names of the interaction/feature files (reference hard-codes
+    the Decathlon names, e.g. src/builder.py:23-24)."""
+
+    ctm_id: str = "CUSTOMER IDENTIFIER"
+    specific_item_id: str = "SPECIFIC ITEM IDENTIFIER"
+    general_item_id: str = "GENERAL ITEM IDENTIFIER"
+    spt_id: str = "sport_id"
+    sportsgroup_id: str = "sportsgroup_id"
+    sports_id: str = "sports_id"
+    hit_date: str = "hit_date"
+    hit_timestamp: str = "hit_timestamp"
+    buy: str = "buy"
+
+    def item_id(self, item_id_type: str) -> str:
+        return (
+            self.specific_item_id if item_id_type == SPECIFIC
+            else self.general_item_id
+        )
+
+
+@dataclasses.dataclass
+class DataPaths:
+    """File locations (reference ``DataPaths``, src/utils_data.py:10-21)."""
+
+    train_path: str = ""
+    test_path: str = ""
+    item_sport_path: str = ""
+    user_sport_path: str = ""
+    sport_sportg_path: str = ""
+    item_feat_path: str = ""
+    user_feat_path: str = ""
+    sport_feat_path: str = ""
+    sport_onehot_path: str = ""
+    result_filepath: str = "outputs/result_log.txt"
+
+
+@dataclasses.dataclass
+class FixedParams:
+    """Non-searched configuration (reference ``FixedParameters``,
+    src/utils_data.py:23-116; identical defaults)."""
+
+    ctm_id_type: str = "CUSTOMER IDENTIFIER"
+    item_id_type: str = SPECIFIC
+    spt_id_type: str = "sport_id"
+    days_of_purchases: int = 365
+    days_of_clicks: int = 30
+    lifespan_of_items: int = 180
+    discern_clicks: bool = True
+    duplicates: str = "keep_all"  # keep_all | keep_last | count_occurrence
+    include_sport: bool = True
+    train_on_clicks: bool = True
+    remove: float = 0.0
+    remove_false_negative: bool = True
+    remove_train_eids: bool = False
+    remove_on_inference: float = 0.7
+    explore: bool = True
+    num_choices: int = 10
+    k: int = 10
+    valid_size: float = 0.05
+    subtrain_size: float = 0.05
+    edge_batch_size: int = 2048
+    node_batch_size: int = 128
+    neighbor_sampler: str = "full"  # full | partial
+    num_epochs: int = 100
+    start_epoch: int = 0
+    patience: int = 3
+    pred: str = "cos"
+    report_model_coverage: bool = False
+
+    @property
+    def train_etypes(self) -> Tuple[Tuple[str, str, str], ...]:
+        ets = [("user", "buys", "item")]
+        if self.discern_clicks and self.train_on_clicks:
+            ets.append(("user", "clicks", "item"))
+        return tuple(ets)
+
+    @property
+    def reverse_etype(self) -> Dict[Tuple[str, str, str], Tuple[str, str, str]]:
+        out = {("user", "buys", "item"): ("item", "bought-by", "user")}
+        if self.discern_clicks:
+            out[("user", "clicks", "item")] = ("item", "clicked-by", "user")
+        return out
+
+
+@dataclasses.dataclass
+class HyperParams:
+    """The searched hyperparameters (reference ``SearchableHyperparameters``,
+    main.py:485-511; defaults = the reference's x0 at main.py:508-511)."""
+
+    aggregator_hetero: str = "mean"
+    aggregator_type: str = "mean_nn"
+    clicks_sample: float = 0.3
+    delta: float = 0.266
+    dropout: float = 0.01
+    embedding_layer: bool = False
+    embed_dim: str = "medium"  # -> (out_dim, hidden_dim) via EMBED_DIMS
+    lr: float = 0.00017985194246308484
+    n_layers: int = 3
+    neg_sample_size: int = 2500
+    norm: bool = True
+    popularity_importance: str = "no"
+    purchases_sample: float = 0.5
+    use_recency: bool = True
+
+    @property
+    def out_dim(self) -> int:
+        return EMBED_DIMS[self.embed_dim][0]
+
+    @property
+    def hidden_dim(self) -> int:
+        return EMBED_DIMS[self.embed_dim][1]
+
+    @property
+    def use_popularity(self) -> bool:
+        return POPULARITY_IMPORTANCE[self.popularity_importance][0]
+
+    @property
+    def weight_popularity(self) -> float:
+        return POPULARITY_IMPORTANCE[self.popularity_importance][1]
+
+    @property
+    def days_popularity(self) -> int:
+        return POPULARITY_IMPORTANCE[self.popularity_importance][2]
+
+    def resolved_aggregator_type(self, duplicates: str) -> str:
+        """count_occurrence edges imply the *_edge aggregator variant
+        (reference main.py:99-100)."""
+        if duplicates == "count_occurrence" and not self.aggregator_type.endswith("_edge"):
+            return self.aggregator_type + "_edge"
+        return self.aggregator_type
+
+
+def save_config(obj, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(obj), f, indent=2)
+
+
+def load_config(cls, path: str):
+    with open(path) as f:
+        return cls(**json.load(f))

@@ -50,7 +50,8 @@ from gnn_recsys_tpu.ops.edge_hash import build_edge_hash, edge_hash_lookup
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
 from gnn_recsys_tpu.train.full_batch import TrainState, init_model
 
-# Reference reverse-etype names (src/utils_data.py:75-97 reverse map).
+# Reference reverse-etype names (src/utils_data.py:96-99 reverse map and the
+# graph schema at src/utils_data.py:205-238).
 REVERSE_NAMES = {
     "buys": "bought-by",
     "bought-by": "buys",
@@ -58,8 +59,10 @@ REVERSE_NAMES = {
     "clicked-by": "clicks",
     "practices": "practiced-by",
     "practiced-by": "practices",
-    "utilizes": "utilized-by",
-    "utilized-by": "utilizes",
+    "utilized-for": "utilizes",
+    "utilizes": "utilized-for",
+    "belongs-to": "includes",
+    "includes": "belongs-to",
 }
 
 
