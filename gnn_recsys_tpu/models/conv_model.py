@@ -67,6 +67,10 @@ class ConvModel(nn.Module):
     pred: str = "cos"
     aggregator_hetero: str = "sum"
     embedding_layer: bool = True
+    # Computation dtype: None = f32; jnp.bfloat16 runs the dense towers and
+    # message passing on the MXU in bf16 (params stay f32, scores cast back
+    # to f32 before the loss).
+    dtype: Optional[jnp.dtype] = None
 
     @property
     def dim_dict(self) -> Dict[str, int]:
@@ -92,7 +96,8 @@ class ConvModel(nn.Module):
 
         if self.embedding_layer:
             self.embed = {
-                nt: NodeEmbedding(dim["hidden"], name=f"{nt}_embed")
+                nt: NodeEmbedding(dim["hidden"], dtype=self.dtype,
+                                  name=f"{nt}_embed")
                 for nt in self.ntypes
             }
 
@@ -105,6 +110,7 @@ class ConvModel(nn.Module):
                     aggregator_type=self.aggregator_type,
                     dropout=self.dropout,
                     norm=self.norm,
+                    dtype=self.dtype,
                     name=f"layer{idx}_{_etype_key(et)}",
                 )
                 for et in self.canonical_etypes
@@ -125,7 +131,8 @@ class ConvModel(nn.Module):
         self.layers = tuple(layers)
 
         if self.pred == "nn":
-            self.pred_layer = PredictingLayer(name="pred_layer")
+            self.pred_layer = PredictingLayer(dtype=self.dtype,
+                                              name="pred_layer")
 
     @property
     def num_conv_layers(self) -> int:
@@ -367,13 +374,13 @@ class ConvModel(nn.Module):
         if self.pred == "cos":
             return jnp.sum(
                 l2_normalize(emb_u) * l2_normalize(emb_v), axis=-1
-            )
+            ).astype(jnp.float32)
         x = jnp.concatenate(
             [jnp.broadcast_to(emb_u, jnp.broadcast_shapes(emb_u.shape, emb_v.shape)),
              jnp.broadcast_to(emb_v, jnp.broadcast_shapes(emb_u.shape, emb_v.shape))],
             axis=-1,
         )
-        return self.pred_layer(x)[..., 0]
+        return self.pred_layer(x)[..., 0].astype(jnp.float32)
 
     def minibatch_forward(
         self,
@@ -415,14 +422,23 @@ class ConvModel(nn.Module):
         pos_scores, neg_scores, neg_dsts = {}, {}, {}
         offsets = np.cumsum([0] + [int(p.shape[0]) for p in pos_us]).tolist()
         pool_emb = reprs["item"][offsets[-1]:]
+        pool_norm = l2_normalize(pool_emb) if self.pred == "cos" else None
         for j, et in enumerate(etypes):
             lo, hi = offsets[j], offsets[j + 1]
             ue = reprs["user"][lo:hi]
             ie = reprs["item"][lo:hi]
             pos_scores[et] = self.score_emb_pairs(ue, ie)
             idx = neg_idx[et]  # [B, S]
-            ne = jnp.take(pool_emb, idx, axis=0)  # [B, S, D]
-            neg_scores[et] = self.score_emb_pairs(ue[:, None, :], ne)
+            if self.pred == "cos":
+                # Score the whole pool with one [B, P] matmul, then gather
+                # per-negative scores — avoids materializing [B, S, D].
+                sm = jnp.matmul(
+                    l2_normalize(ue), pool_norm.T
+                ).astype(jnp.float32)
+                neg_scores[et] = jnp.take_along_axis(sm, idx, axis=1)
+            else:
+                ne = jnp.take(pool_emb, idx, axis=0)  # [B, S, D]
+                neg_scores[et] = self.score_emb_pairs(ue[:, None, :], ne)
             neg_dsts[et] = jnp.take(neg_pool, idx, axis=0)
         return pos_scores, neg_scores, neg_dsts
 
@@ -454,7 +470,7 @@ class ConvModel(nn.Module):
                 scores = self.pred_layer(
                     jnp.concatenate([eu, ev], axis=-1)
                 ).reshape(-1)
-            out[etype] = scores.reshape(shape)
+            out[etype] = scores.reshape(shape).astype(jnp.float32)
         return out
 
     def __call__(

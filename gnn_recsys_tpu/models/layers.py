@@ -19,7 +19,7 @@ layer serves full-graph, sampled-tree, and Pallas execution paths.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -63,11 +63,13 @@ class _MaskedLSTMStep(nn.Module):
     """One masked LSTM step: the carry freezes where the slot is padding."""
 
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, carry, xs):
         x, m = xs
-        new_carry, y = nn.LSTMCell(self.features, name="cell")(carry, x)
+        new_carry, y = nn.LSTMCell(self.features, dtype=self.dtype,
+                                   name="cell")(carry, x)
         merged = jax.tree.map(
             lambda new, old: jnp.where(m[:, None], new, old), new_carry, carry
         )
@@ -84,6 +86,7 @@ class MaskedLSTMReducer(nn.Module):
     """
 
     features: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, msgs: jax.Array, mask: jax.Array) -> jax.Array:
@@ -99,7 +102,8 @@ class MaskedLSTMReducer(nn.Module):
             jnp.zeros((n, self.features), msgs.dtype),
             jnp.zeros((n, self.features), msgs.dtype),
         )
-        (final_c, final_h), _ = scan(self.features, name="scan")(
+        (final_c, final_h), _ = scan(self.features, dtype=self.dtype,
+                                     name="scan")(
             carry, (msgs, mask)
         )
         del final_c
@@ -111,10 +115,12 @@ class NodeEmbedding(nn.Module):
     (reference ``src/model.py:10-24``)."""
 
     out_feats: int
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, node_feats: jax.Array) -> jax.Array:
-        return nn.Dense(self.out_feats, name="proj_feats")(node_feats)
+        return nn.Dense(self.out_feats, dtype=self.dtype,
+                        name="proj_feats")(node_feats)
 
 
 class ConvLayer(nn.Module):
@@ -130,6 +136,7 @@ class ConvLayer(nn.Module):
     aggregator_type: str = "mean"
     dropout: float = 0.0
     norm: bool = True
+    dtype: Optional[jnp.dtype] = None  # computation dtype (bf16 on the MXU)
 
     def setup(self):
         if self.aggregator_type not in AGGREGATOR_TYPES:
@@ -139,21 +146,24 @@ class ConvLayer(nn.Module):
         kinit = xavier_uniform_gain(RELU_GAIN)
         self.dropout_fn = nn.Dropout(self.dropout)
         self.fc_self = nn.Dense(
-            self.out_feats, use_bias=False, kernel_init=kinit, name="fc_self"
+            self.out_feats, use_bias=False, kernel_init=kinit,
+            dtype=self.dtype, name="fc_self"
         )
         self.fc_neigh = nn.Dense(
-            self.out_feats, use_bias=False, kernel_init=kinit, name="fc_neigh"
+            self.out_feats, use_bias=False, kernel_init=kinit,
+            dtype=self.dtype, name="fc_neigh"
         )
         if self.aggregator_type in ("mean_nn", "mean_nn_edge", "pool_nn", "pool_nn_edge"):
             self.fc_preagg = nn.Dense(
                 self.in_neigh_feats,
                 use_bias=False,
                 kernel_init=kinit,
+                dtype=self.dtype,
                 name="fc_preagg",
             )
         if self.aggregator_type in ("lstm", "lstm_edge"):
             self.lstm_reducer = MaskedLSTMReducer(
-                self.in_neigh_feats, name="lstm"
+                self.in_neigh_feats, dtype=self.dtype, name="lstm"
             )
 
     @property
@@ -202,15 +212,20 @@ class PredictingLayer(nn.Module):
     """MLP scorer head: concat(user, item) -> 128 -> 32 -> 1 -> sigmoid
     (reference ``src/model.py:240-272``)."""
 
+    dtype: Optional[jnp.dtype] = None
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         relu_init = xavier_uniform_gain(RELU_GAIN)
         sig_init = xavier_uniform_gain(SIGMOID_GAIN)
-        x = nn.Dense(128, kernel_init=relu_init, name="hidden_1")(x)
+        x = nn.Dense(128, kernel_init=relu_init, dtype=self.dtype,
+                     name="hidden_1")(x)
         x = nn.relu(x)
-        x = nn.Dense(32, kernel_init=relu_init, name="hidden_2")(x)
+        x = nn.Dense(32, kernel_init=relu_init, dtype=self.dtype,
+                     name="hidden_2")(x)
         x = nn.relu(x)
-        x = nn.Dense(1, kernel_init=sig_init, name="output")(x)
+        x = nn.Dense(1, kernel_init=sig_init, dtype=self.dtype,
+                     name="output")(x)
         return nn.sigmoid(x)
 
 

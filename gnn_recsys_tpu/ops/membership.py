@@ -1,0 +1,90 @@
+"""Padded-row pair-set membership — the fast path for edge-existence tests.
+
+TPU-native replacement for DGL's ``has_edges_between`` in the TRAINING hot
+path (false-negative masking, reference ``src/train/run.py:92-103``) and for
+the already-bought filter in retrieval (``src/metrics.py:74-76``).
+
+Measured on TPU v5e: XLA lowers scalar gathers from multi-million-entry
+tables pathologically (~180 ms for 2.5M probes into an 8M-slot hash table),
+while a row gather + VPU broadcast-compare over padded per-source neighbor
+rows does the same membership test in ~0.1 ms.  So the default membership
+structure is::
+
+    rows[u, :]  = the (padded) destination ids adjacent to source u
+    contains(u, v) = any(rows[u, k] == v for valid k)
+
+The row width is the max out-degree (optionally capped — capping trades
+exactness on hub sources for memory/compute; the cuckoo hash in
+``edge_hash.py`` remains available when unbounded degree must stay exact).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from gnn_recsys_tpu.graph.hetero import coo_to_padded_csc
+
+
+@struct.dataclass
+class PaddedPairSet:
+    """Per-source padded destination rows; empty slots are -1."""
+
+    rows: jax.Array  # [num_src, K] int32 destination ids, -1 padded
+    num_src: int = struct.field(pytree_node=False)
+
+    @property
+    def max_row(self) -> int:
+        return self.rows.shape[1]
+
+
+def build_padded_pair_set(
+    src,
+    dst,
+    num_src: int,
+    cap: Optional[int] = None,
+) -> PaddedPairSet:
+    """Host-side build from COO pairs (numpy in, device array out)."""
+    # Reuse the CSC packer with roles swapped: rows keyed by SOURCE.
+    nbr, _, nbr_mask, _ = coo_to_padded_csc(
+        np.asarray(dst, dtype=np.int32),
+        np.asarray(src, dtype=np.int32),
+        num_dst=num_src,
+        max_fanout=cap,
+    )
+    rows = np.where(nbr_mask, nbr, -1).astype(np.int32)
+    return PaddedPairSet(rows=jnp.asarray(rows), num_src=num_src)
+
+
+def pair_set_contains(ps: PaddedPairSet, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Vectorized membership: is (u[i], v[i]) in the set?
+
+    u: [*s] int32 source ids (duplicates fine); v: [*s] or [*s, S].
+    Returns bool of v's shape.  One row gather + a broadcast compare.
+    """
+    rows = jnp.take(ps.rows, u, axis=0)  # [*s, K]
+    if v.ndim == u.ndim:
+        return jnp.any(rows == v[..., None], axis=-1)
+    # v has one extra trailing axis (e.g. S negatives per source).
+    return jnp.any(rows[..., None, :] == v[..., None], axis=-1)
+
+
+def scatter_row_mask(
+    ps: PaddedPairSet, u: jax.Array, num_dst: int
+) -> jax.Array:
+    """Dense [len(u), num_dst] membership mask for the given sources.
+
+    Used by retrieval to mask the full catalog: scatter each source's row
+    into a boolean row — O(C * K) scatter instead of O(C * I) probes.
+    Padding (-1) scatters into a dropped overflow column.
+    """
+    rows = jnp.take(ps.rows, u, axis=0)  # [C, K]
+    c = rows.shape[0]
+    out = jnp.zeros((c, num_dst + 1), dtype=bool)
+    cols = jnp.where(rows >= 0, rows, num_dst)
+    out = out.at[jnp.arange(c)[:, None], cols].set(True)
+    return out[:, :num_dst]

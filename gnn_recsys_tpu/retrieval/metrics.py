@@ -10,8 +10,8 @@ Vectorized re-implementation of the reference's dict-of-lists metrics
   * coverage  = (# distinct recommended items) / catalog size
 
 plus the negative-edge MRR heuristic (``src/metrics.py:137-157``).
-Pair membership uses the on-device edge hash
-(:mod:`gnn_recsys_tpu.ops.edge_hash`) — no Python dict scans.
+Pair membership uses padded per-user rows
+(:mod:`gnn_recsys_tpu.ops.membership`) — no Python dict scans.
 """
 
 from __future__ import annotations
@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gnn_recsys_tpu.ops.edge_hash import build_edge_hash, edge_hash_lookup
+from gnn_recsys_tpu.ops.membership import (
+    build_padded_pair_set,
+    pair_set_contains,
+)
 from gnn_recsys_tpu.retrieval.recs import get_recs
 
 
@@ -46,9 +49,11 @@ def recs_to_metrics(
     u, k = recs.shape
 
     # Membership of each (user, rec) pair in the ground-truth pair set.
-    gt_table = build_edge_hash(gt_users, gt_items)
-    rec_users = jnp.broadcast_to(user_ids[:, None], recs.shape)
-    rec_hits = edge_hash_lookup(gt_table, rec_users, recs)
+    num_users = int(jnp.max(user_ids)) + 1 if u else 1
+    gt_set = build_padded_pair_set(
+        gt_users, gt_items, num_src=max(num_users, int(np.max(gt_users)) + 1)
+    )
+    rec_hits = pair_set_contains(gt_set, user_ids, recs)
     precision = jnp.sum(rec_hits) / (u * k)
 
     # For each ground-truth pair: is its item among that user's recs?
@@ -87,7 +92,10 @@ def get_metrics_at_k(
     num_items = item_emb.shape[0]
     already_table = None
     if already_bought is not None:
-        already_table = build_edge_hash(already_bought[0], already_bought[1])
+        n_src = int(np.max(already_bought[0])) + 1 if len(already_bought[0]) else 1
+        already_table = build_padded_pair_set(
+            already_bought[0], already_bought[1], num_src=n_src
+        )
     recs = get_recs(
         user_emb,
         item_emb,

@@ -11,8 +11,9 @@ are masked to ``-inf`` *before* ``jax.lax.top_k`` (equivalent to the
 reference's filter-after-ranking, since masking only removes items from the
 ranking), and the optional popularity boost applies
 ``softmax(ratings) + w * popularity`` per row (``src/metrics.py:69-72``).
-Already-bought membership is an on-device hash probe
-(:mod:`gnn_recsys_tpu.ops.edge_hash`) instead of a Python ``in`` scan.
+Already-bought masking scatters each user's padded bought-row into a
+[chunk, catalog] boolean mask (:mod:`gnn_recsys_tpu.ops.membership`) —
+no per-item probes, no Python ``in`` scan.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from gnn_recsys_tpu.models.layers import l2_normalize
-from gnn_recsys_tpu.ops.edge_hash import EdgeHashTable, edge_hash_lookup
+from gnn_recsys_tpu.ops.membership import PaddedPairSet, scatter_row_mask
 
 ScoreFn = Callable[[jax.Array, jax.Array], jax.Array]  # ([C,D],[I,D]) -> [C,I]
 
@@ -46,7 +47,7 @@ def get_recs(
     item_emb: jax.Array,
     user_ids: jax.Array,
     k: int,
-    already_bought: Optional[EdgeHashTable] = None,
+    already_bought: Optional[PaddedPairSet] = None,
     remove_already_bought: bool = True,
     score_fn: Optional[ScoreFn] = None,
     popularity: Optional[jax.Array] = None,
@@ -58,7 +59,7 @@ def get_recs(
     user_emb: [N_users, D] full user embedding table.
     item_emb: [I, D] full catalog embeddings.
     user_ids: [U] int32 user node ids to recommend for.
-    already_bought: hash table of (user, item) pairs to exclude.
+    already_bought: padded per-user bought-item rows to exclude.
     Returns [U, k] int32 item ids.
     """
     if score_fn is None:
@@ -72,7 +73,6 @@ def get_recs(
     )
     num_chunks = ids_padded.shape[0] // c
     ids_chunks = ids_padded.reshape(num_chunks, c)
-    item_ids_row = jnp.arange(num_items, dtype=jnp.int32)[None, :]
 
     def one_chunk(uids: jax.Array) -> jax.Array:
         ratings = score_fn(jnp.take(user_emb, uids, axis=0), item_emb)
@@ -81,11 +81,7 @@ def get_recs(
                 popularity[None, :] * weight_popularity
             )
         if remove_already_bought and already_bought is not None:
-            pairs_u = jnp.broadcast_to(uids[:, None], ratings.shape).astype(
-                jnp.int32
-            )
-            pairs_i = jnp.broadcast_to(item_ids_row, ratings.shape)
-            bought = edge_hash_lookup(already_bought, pairs_u, pairs_i)
+            bought = scatter_row_mask(already_bought, uids, num_items)
             ratings = jnp.where(bought, -jnp.inf, ratings)
         _, top_items = jax.lax.top_k(ratings, k)
         return top_items.astype(jnp.int32)

@@ -30,7 +30,7 @@ from flax.training import train_state
 from gnn_recsys_tpu.graph.hetero import CanonicalEtype, HeteroGraph
 from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.models.loss import max_margin_loss
-from gnn_recsys_tpu.ops.edge_hash import build_edge_hash, edge_hash_lookup
+from gnn_recsys_tpu.ops.membership import build_padded_pair_set, pair_set_contains
 from gnn_recsys_tpu.ops.negative import uniform_negative_dst
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
 
@@ -59,20 +59,34 @@ def init_model(
     features: Dict[str, jax.Array],
     seed: int = 0,
 ) -> Dict:
-    """Initialize parameters with a dummy scoring pass."""
-    dummy_pairs = {
+    """Initialize parameters via a tiny sampled-tree pass.
+
+    Parameter shapes are graph-size independent, so init runs the sampled
+    minibatch forward on a single dummy edge (fanout 1) instead of a full
+    layer-wise pass over the whole graph — O(1) instead of O(|E|).
+    """
+    et_pairs = {
         et: (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
         for et in graph.canonical_etypes
         if et[0] == "user" and et[2] == "item"
     }
-    return model.init(
-        jax.random.PRNGKey(seed),
-        graph,
-        features,
-        dummy_pairs,
-        dummy_pairs,
-        deterministic=True,
-    )
+    pool = jnp.zeros((2,), jnp.int32)
+    neg_idx = {et: jnp.zeros((1, 1), jnp.int32) for et in et_pairs}
+    fanouts = tuple([1] * model.num_conv_layers)
+
+    def init_fn(mdl):
+        return mdl.minibatch_forward(
+            graph,
+            features,
+            et_pairs,
+            pool,
+            neg_idx,
+            fanouts,
+            jax.random.PRNGKey(0),
+            deterministic=True,
+        )
+
+    return model.init(jax.random.PRNGKey(seed), method=init_fn)
 
 
 def make_full_batch_step(
@@ -95,8 +109,8 @@ def make_full_batch_step(
             )
             neg_pairs[et] = (ns, nd)
             if cfg.remove_false_negative:
-                neg_mask[et] = edge_hash_lookup(
-                    edge_tables[et], ns, nd
+                neg_mask[et] = pair_set_contains(
+                    edge_tables[et], pos_u, nd
                 ).astype(jnp.float32)
 
         def loss_fn(params):
@@ -175,10 +189,12 @@ def train_full_batch(
     }
     # False negatives are masked against the FULL (train+valid) edge set,
     # matching the reference's valid_graph query (run.py:100).
+    num_users = full_graph.num_nodes("user")
     edge_tables = {
-        et: build_edge_hash(
+        et: build_padded_pair_set(
             np.asarray(full_graph.rels[et].src),
             np.asarray(full_graph.rels[et].dst),
+            num_src=num_users,
         )
         for et in train_etypes
     }

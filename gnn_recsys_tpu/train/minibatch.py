@@ -46,7 +46,11 @@ import optax
 from gnn_recsys_tpu.graph.hetero import CanonicalEtype, HeteroGraph
 from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.models.loss import max_margin_loss
-from gnn_recsys_tpu.ops.edge_hash import build_edge_hash, edge_hash_lookup
+from gnn_recsys_tpu.ops.membership import (
+    PaddedPairSet,
+    build_padded_pair_set,
+    pair_set_contains,
+)
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
 from gnn_recsys_tpu.train.full_batch import TrainState, init_model
 
@@ -210,11 +214,8 @@ def make_minibatch_step(
             if cfg.remove_false_negative:
                 neg_mask = {}
                 for et in train_etypes:
-                    ns = jnp.broadcast_to(
-                        pairs[et][0][:, None], neg_dst[et].shape
-                    )
-                    neg_mask[et] = edge_hash_lookup(
-                        edge_tables[et], ns, neg_dst[et]
+                    neg_mask[et] = pair_set_contains(
+                        edge_tables[et], pairs[et][0], neg_dst[et]
                     ).astype(jnp.float32)
             return max_margin_loss(
                 pos_s,
@@ -287,12 +288,15 @@ def train_minibatch(
     already_bought: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     verbose: bool = False,
     state: Optional[TrainState] = None,
+    host_edges: Optional[Dict] = None,
 ):
     """Run the reference training regime end to end. Returns (state, history).
 
     ``train_eids`` index into ``train_graph`` relations; ``valid_eids``
     index into ``full_graph`` relations (held-out edges, removed from the
-    train graph).
+    train graph).  ``host_edges`` optionally supplies host-side numpy COO
+    copies per etype (``{etype: (src, dst[, recency])}`` for the FULL
+    graph) to avoid device->host pulls on slow transports.
     """
     if state is None:
         params = init_model(model, train_graph, features, seed=cfg.seed)
@@ -322,12 +326,20 @@ def train_minibatch(
     valid_store = _EdgeStore(full_graph, valid_etypes)
 
     # False negatives masked against the FULL (train+valid) edge set
-    # (reference queries valid_graph, run.py:100).
-    edge_tables = {
-        et: build_edge_hash(
+    # (reference queries valid_graph, run.py:100).  ``host_edges`` avoids
+    # device->host pulls on slow transports.
+    num_users = full_graph.num_nodes("user")
+
+    def _full_coo(et):
+        if host_edges is not None and et in host_edges:
+            return host_edges[et][0], host_edges[et][1]
+        return (
             np.asarray(full_graph.rels[et].src),
             np.asarray(full_graph.rels[et].dst),
         )
+
+    edge_tables = {
+        et: build_padded_pair_set(*_full_coo(et), num_src=num_users)
         for et in set(train_etypes) | set(valid_etypes)
     }
 

@@ -6,7 +6,7 @@ from collections import defaultdict
 import jax.numpy as jnp
 import numpy as np
 
-from gnn_recsys_tpu.ops.edge_hash import build_edge_hash
+from gnn_recsys_tpu.ops.membership import build_padded_pair_set
 from gnn_recsys_tpu.retrieval.metrics import (
     get_metrics_at_k,
     mrr_neg_edges,
@@ -82,7 +82,7 @@ def test_get_recs_matches_oracle():
     already = defaultdict(list)
     for u, i in zip(ab_u.tolist(), ab_i.tolist()):
         already[u].append(i)
-    table = build_edge_hash(ab_u, ab_i)
+    table = build_padded_pair_set(ab_u, ab_i, num_src=ue.shape[0])
     got = np.asarray(
         get_recs(jnp.asarray(ue), jnp.asarray(ie),
                  jnp.asarray(user_ids, jnp.int32), k,
