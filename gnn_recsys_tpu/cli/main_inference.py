@@ -1,0 +1,45 @@
+"""On-demand inference CLI (reference ``main_inference.py:179-222``).
+
+Usage:
+    python -m gnn_recsys_tpu.cli.main_inference --run-dir models/run1 \
+        --user-ids u123 --user-ids u456 [--k 10]
+    python -m gnn_recsys_tpu.cli.main_inference --run-dir models/run1 --all
+"""
+
+from __future__ import annotations
+
+import click
+
+from gnn_recsys_tpu.inference import inference_ondemand
+
+
+@click.command()
+@click.option("--run-dir", required=True,
+              help="Directory written by main_train / hp search save.")
+@click.option("--user-ids", multiple=True,
+              help="External user ids (repeatable).")
+@click.option("--all", "all_users", is_flag=True, default=False,
+              help="Recommend for every known user.")
+@click.option("--k", default=10)
+@click.option("--keep-already-bought", is_flag=True, default=False)
+@click.option("--use-popularity", is_flag=True, default=False)
+@click.option("--weight-popularity", default=1.0)
+def main(run_dir, user_ids, all_users, k, keep_already_bought,
+         use_popularity, weight_popularity):
+    ids = "all" if all_users else list(user_ids)
+    if not ids:
+        raise click.UsageError("pass --user-ids ... or --all")
+    recs = inference_ondemand(
+        run_dir,
+        ids,
+        k=k,
+        remove_already_bought=not keep_already_bought,
+        use_popularity=use_popularity,
+        weight_popularity=weight_popularity,
+    )
+    for uid, items in recs.items():
+        click.echo(f"{uid}: {items}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""One full build/train/eval trial — the unit of work shared by the
+hyperparameter-search CLI and the full-training CLI.
+
+Mirrors the reference's ``train`` routine (``/root/reference/main.py:42-447``):
+build the graph from data, split train/valid temporally, train with the
+minibatch regime, compute test metrics on both the all-interaction and
+purchase-only ground truths (main.py:279-312), optionally save the run when
+recall clears the model-save threshold (8% specific / 20% general,
+main.py:404-415), and emit loss/metric curves.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_recsys_tpu.config import (
+    GENERAL,
+    SPECIFIC,
+    DataPaths,
+    FixedParams,
+    HyperParams,
+)
+from gnn_recsys_tpu.data.etl import GraphData
+from gnn_recsys_tpu.data.split import TrainValSplit, train_valid_split
+from gnn_recsys_tpu.models.conv_model import ConvModel
+from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
+from gnn_recsys_tpu.train.checkpoint import save_run
+from gnn_recsys_tpu.train.minibatch import (
+    MinibatchConfig,
+    compute_embeddings_minibatch,
+    train_minibatch,
+)
+from gnn_recsys_tpu.utils.viz import plot_train_loss
+
+# Model-save thresholds (reference main.py:404-405).
+SAVE_THRESHOLDS = {SPECIFIC: 0.08, GENERAL: 0.20}
+
+
+@dataclasses.dataclass
+class TrialResult:
+    recall: float
+    precision: float
+    coverage: float
+    recall_purchase: float
+    history: Dict
+    train_time_s: float
+    saved_to: Optional[str] = None
+
+
+def build_model(
+    graph_data: GraphData, fixed: FixedParams, hyper: HyperParams,
+    dtype=None,
+) -> ConvModel:
+    """Assemble the ConvModel from config (reference main.py:189-205)."""
+    g = graph_data.graph
+    feat_dims = {
+        nt: int(g.ndata[nt]["features"].shape[1]) for nt in g.ntypes
+        if "features" in g.ndata[nt]
+    }
+    dims = tuple(
+        sorted(
+            {**feat_dims, "hidden": hyper.hidden_dim, "out": hyper.out_dim}
+            .items()
+        )
+    )
+    return ConvModel(
+        canonical_etypes=g.canonical_etypes,
+        dims=dims,
+        n_layers=hyper.n_layers,
+        norm=hyper.norm,
+        dropout=hyper.dropout,
+        aggregator_type=hyper.resolved_aggregator_type(fixed.duplicates),
+        pred=fixed.pred,
+        aggregator_hetero=hyper.aggregator_hetero,
+        embedding_layer=hyper.embedding_layer,
+        dtype=dtype,
+    )
+
+
+def minibatch_config(
+    fixed: FixedParams, hyper: HyperParams, model: ConvModel,
+    neg_pool_size: int = 2048,
+) -> MinibatchConfig:
+    n_conv = model.num_conv_layers
+    if fixed.neighbor_sampler == "full":
+        fanouts = tuple([-1] * n_conv)
+    else:  # 'partial' = fanout-1 sampler (reference sampling.py:158-159)
+        fanouts = tuple([1] * n_conv)
+    return MinibatchConfig(
+        edge_batch_size=fixed.edge_batch_size,
+        fanouts=fanouts,
+        neg_sample_size=hyper.neg_sample_size,
+        neg_mode="shared_pool",
+        neg_pool_size=neg_pool_size,
+        delta=hyper.delta,
+        lr=hyper.lr,
+        num_epochs=fixed.num_epochs,
+        remove_false_negative=fixed.remove_false_negative,
+        use_recency=hyper.use_recency,
+        k=fixed.k,
+        patience=fixed.patience,
+    )
+
+
+def run_trial(
+    fixed: FixedParams,
+    hyper: HyperParams,
+    paths: Optional[DataPaths] = None,
+    dataframes: Optional[Dict] = None,
+    save_dir: Optional[str] = None,
+    save_threshold: Optional[float] = None,
+    plots_dir: Optional[str] = None,
+    dtype=None,
+    neg_pool_size: int = 2048,
+    verbose: bool = False,
+) -> TrialResult:
+    """Build data -> train -> test metrics (reference main.py:42-447)."""
+    t0 = time.perf_counter()
+    if dataframes is not None:
+        gd = GraphData.from_dataframes(
+            fixed,
+            use_recency=hyper.use_recency,
+            use_popularity=hyper.use_popularity,
+            days_popularity=hyper.days_popularity,
+            **dataframes,
+        )
+    else:
+        gd = GraphData.from_paths(
+            paths,
+            fixed,
+            use_recency=hyper.use_recency,
+            use_popularity=hyper.use_popularity,
+            days_popularity=hyper.days_popularity,
+        )
+    split: TrainValSplit = train_valid_split(
+        gd.graph,
+        gd.ground_truth_test,
+        fixed,
+        clicks_sample=hyper.clicks_sample,
+        purchases_sample=hyper.purchases_sample,
+    )
+    model = build_model(gd, fixed, hyper, dtype=dtype)
+    # A shared negative pool larger than the catalog is pure waste.
+    neg_pool_size = min(neg_pool_size, gd.num_nodes["item"])
+    cfg = minibatch_config(fixed, hyper, model, neg_pool_size=neg_pool_size)
+
+    g = gd.graph
+    features = {
+        nt: g.ndata[nt]["features"] for nt in g.ntypes
+        if "features" in g.ndata[nt]
+    }
+    state, history = train_minibatch(
+        model,
+        split.train_graph,
+        g,
+        features,
+        split.train_eids,
+        split.valid_eids,
+        cfg,
+        test_ground_truth=split.ground_truth_valid,
+        already_bought=(
+            gd.adjacency_dict.get("purchases_src", gd.adjacency_dict.get("user_item_src")),
+            gd.adjacency_dict.get("purchases_dst", gd.adjacency_dict.get("user_item_dst")),
+        ),
+        verbose=verbose,
+    )
+
+    # Final test metrics on BOTH ground truths (main.py:279-312).
+    h = compute_embeddings_minibatch(
+        model, state.params, split.train_graph, features,
+        node_batch_size=fixed.node_batch_size, ntypes=("user", "item"),
+    )
+    already = (
+        gd.adjacency_dict.get("purchases_src", gd.adjacency_dict.get("user_item_src")),
+        gd.adjacency_dict.get("purchases_dst", gd.adjacency_dict.get("user_item_dst")),
+    )
+    popularity = None
+    if hyper.use_popularity and "popularity" in g.ndata.get("item", {}):
+        popularity = g.ndata["item"]["popularity"].reshape(-1)
+    precision, recall, coverage = get_metrics_at_k(
+        h["user"], h["item"], gd.ground_truth_test, already, fixed.k,
+        popularity=popularity, weight_popularity=hyper.weight_popularity,
+    )
+    if len(gd.ground_truth_purchase_test[0]):
+        _, recall_purchase, _ = get_metrics_at_k(
+            h["user"], h["item"], gd.ground_truth_purchase_test, already,
+            fixed.k, popularity=popularity,
+            weight_popularity=hyper.weight_popularity,
+        )
+    else:
+        recall_purchase = 0.0
+
+    saved_to = None
+    threshold = (
+        save_threshold
+        if save_threshold is not None
+        else SAVE_THRESHOLDS.get(fixed.item_id_type, 0.08)
+    )
+    if save_dir is not None and recall > threshold:
+        save_run(
+            save_dir,
+            state.params,
+            model_kwargs={
+                "canonical_etypes": [list(e) for e in model.canonical_etypes],
+                "dims": [list(d) for d in model.dims],
+                "n_layers": model.n_layers,
+                "norm": model.norm,
+                "dropout": model.dropout,
+                "aggregator_type": model.aggregator_type,
+                "pred": model.pred,
+                "aggregator_hetero": model.aggregator_hetero,
+                "embedding_layer": model.embedding_layer,
+            },
+            fixed_params=fixed,
+            hyper_params=hyper,
+            graph=g,
+            id_maps={"ctm_id": gd.ctm_id, "pdt_id": gd.pdt_id,
+                     "spt_id": gd.spt_id},
+        )
+        saved_to = save_dir
+
+    if plots_dir is not None:
+        viz = {
+            "train_loss_list": history["train_loss"],
+            "loss_list": history["valid_loss"],
+            "val_recall_list": history["recall"],
+        }
+        hp_str = ", ".join(
+            f"{k}={v}" for k, v in dataclasses.asdict(hyper).items()
+        )
+        plot_train_loss(hp_str, viz, out_dir=plots_dir)
+
+    return TrialResult(
+        recall=recall,
+        precision=precision,
+        coverage=coverage,
+        recall_purchase=recall_purchase,
+        history=history,
+        train_time_s=time.perf_counter() - t0,
+        saved_to=saved_to,
+    )
