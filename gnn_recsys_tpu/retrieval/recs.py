@@ -53,6 +53,7 @@ def get_recs(
     popularity: Optional[jax.Array] = None,
     weight_popularity: float = 1.0,
     chunk_size: int = 128,
+    backend: str = "xla",
 ) -> jax.Array:
     """Top-k recommended item ids for each listed user.
 
@@ -60,8 +61,20 @@ def get_recs(
     item_emb: [I, D] full catalog embeddings.
     user_ids: [U] int32 user node ids to recommend for.
     already_bought: padded per-user bought-item rows to exclude.
+    backend: 'xla' (chunked matmul + top_k) or 'pallas' (fused MIPS kernel
+        that never materializes the [C, I] score block; cosine scoring only,
+        no popularity boost).
     Returns [U, k] int32 item ids.
     """
+    if backend == "pallas":
+        if popularity is not None or score_fn is not None:
+            raise ValueError(
+                "pallas backend supports plain cosine scoring only"
+            )
+        return _get_recs_pallas(
+            user_emb, item_emb, user_ids, k, already_bought,
+            remove_already_bought,
+        )
     if score_fn is None:
         score_fn = cosine_score_fn
     num_items = item_emb.shape[0]
@@ -88,3 +101,42 @@ def get_recs(
 
     recs = jax.lax.map(one_chunk, ids_chunks)
     return recs.reshape(-1, k)[:u]
+
+
+def _get_recs_pallas(
+    user_emb: jax.Array,
+    item_emb: jax.Array,
+    user_ids: jax.Array,
+    k: int,
+    already_bought: Optional[PaddedPairSet],
+    remove_already_bought: bool,
+) -> jax.Array:
+    """Fused-kernel retrieval with over-fetch masking.
+
+    Already-bought items can occupy at most ``max_row`` top slots, so
+    fetching top-(k + max_row) from the kernel and dropping bought entries
+    afterwards yields exactly the top-k unbought items — same result as
+    masking before ranking.
+    """
+    from gnn_recsys_tpu.ops.membership import pair_set_contains
+    from gnn_recsys_tpu.ops.pallas.topk_mips import mips_topk
+
+    mask_rows = (
+        already_bought is not None
+        and remove_already_bought
+        and already_bought.max_row > 0
+    )
+    fetch = k + (already_bought.max_row if mask_rows else 0)
+    fetch = min(fetch, item_emb.shape[0])
+    ue = l2_normalize(jnp.take(user_emb, user_ids, axis=0))
+    ie = l2_normalize(item_emb)
+    # Mosaic kernels only compile for real TPUs; interpret elsewhere.
+    dev = jax.devices()[0]
+    interpret = "tpu" not in (dev.platform + str(dev)).lower()
+    _, idx = mips_topk(ue, ie, fetch, interpret=interpret)
+    if not mask_rows:
+        return idx[:, :k]
+    bought = pair_set_contains(already_bought, user_ids, idx)  # [U, fetch]
+    # Stable-sort unbought entries to the front, preserving score order.
+    order = jnp.argsort(bought.astype(jnp.int32), axis=1, stable=True)
+    return jnp.take_along_axis(idx, order, axis=1)[:, :k]
