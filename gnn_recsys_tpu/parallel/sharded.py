@@ -1,0 +1,193 @@
+"""Multi-chip training: sharded steps and row-sharded tables.
+
+The reference is strictly single-process / single-GPU (SURVEY.md §2.3), so
+this subsystem is new TPU-native design, not a port:
+
+* ``make_gspmd_minibatch_step`` — the full minibatch training step jitted
+  over a ``('data', 'model')`` mesh: edge batches sharded over ``data``
+  (data parallelism, gradient all-reduce inserted by GSPMD), node feature
+  tables optionally row-sharded over ``model`` (embedding-table
+  parallelism — XLA turns the tree gathers into collective lookups), and
+  parameters replicated.  Semantically identical to the single-device step
+  (same program, same rng), which the test suite asserts exactly.
+
+* ``make_shardmap_dp_step`` — an explicit-collective data-parallel step via
+  ``shard_map``: each device samples trees for its batch shard against the
+  replicated graph, computes local gradients, and ``psum``s them over the
+  ``data`` axis before the optimizer update (every device applies the same
+  update, keeping state replicated).  This is the building block the
+  multi-host recipe composes over ICI/DCN.
+
+* ``row_sharded_lookup`` — embedding-row exchange for tables sharded over
+  the ``model`` axis inside ``shard_map``: each shard gathers the requested
+  rows it owns (others contribute zeros) and a ``psum`` over the axis
+  assembles full rows on every shard.  Each id lives on exactly one shard,
+  so the sum IS the gather.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gnn_recsys_tpu.models.conv_model import ConvModel
+from gnn_recsys_tpu.train.minibatch import MinibatchConfig, make_minibatch_step
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis: str = "data"):
+    return NamedSharding(mesh, P(axis))
+
+
+def row_sharded(mesh: Mesh, axis: str = "model"):
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_inputs(
+    mesh: Mesh,
+    state,
+    graph,
+    features: Dict[str, jax.Array],
+    edge_tables,
+    row_shard_ntypes: Tuple[str, ...] = ("item",),
+):
+    """Place training inputs on the mesh: state/graph/tables replicated,
+    selected node-feature tables row-sharded over the 'model' axis."""
+    repl = replicated(mesh)
+    rows = row_sharded(mesh)
+    state = jax.device_put(state, repl)
+    graph = jax.tree.map(lambda x: jax.device_put(x, repl), graph)
+    features = {
+        nt: jax.device_put(x, rows if nt in row_shard_ntypes else repl)
+        for nt, x in features.items()
+    }
+    edge_tables = jax.tree.map(
+        lambda x: jax.device_put(x, repl), edge_tables
+    )
+    return state, graph, features, edge_tables
+
+
+def shard_batch_dict(mesh: Mesh, batch: Dict, axis: str = "data"):
+    """Shard every per-edge array of a minibatch over the data axis.
+
+    Per-etype batch sizes must divide the data-axis extent.
+    """
+    sh = batch_sharded(mesh, axis)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def make_gspmd_minibatch_step(
+    model: ConvModel,
+    cfg: MinibatchConfig,
+    train_etypes,
+    mesh: Mesh,
+    with_update: bool = True,
+    with_exclusion: bool = True,
+    has_reverse: Optional[Dict] = None,
+) -> Callable:
+    """The single-device minibatch step, GSPMD-distributed over the mesh.
+
+    Same jaxpr as the single-device step — callers place inputs with
+    :func:`shard_inputs` / :func:`shard_batch_dict` and XLA inserts the
+    collectives (gradient all-reduce over 'data', row-lookup exchange over
+    'model').  Outputs are replicated.
+    """
+    del mesh  # placement comes from the inputs; GSPMD infers the rest
+    if has_reverse is None:
+        has_reverse = {et: True for et in train_etypes}
+    return make_minibatch_step(
+        model, cfg, tuple(train_etypes), with_update=with_update,
+        with_exclusion=with_exclusion, has_reverse=has_reverse,
+    )
+
+
+def make_shardmap_dp_step(
+    model: ConvModel,
+    cfg: MinibatchConfig,
+    train_etypes,
+    mesh: Mesh,
+    axis: str = "data",
+    has_reverse: Optional[Dict] = None,
+) -> Callable:
+    """Explicit-collective data-parallel train step.
+
+    Inputs: state/graph/features/edge_tables replicated, batch sharded over
+    ``axis`` (leading dim of every per-edge array).  Each device runs the
+    full sampling+forward+loss on its shard with a device-distinct rng,
+    then gradients/losses are ``pmean``-ed over the axis and the optimizer
+    update applies identically everywhere.
+    """
+    if has_reverse is None:
+        has_reverse = {et: True for et in train_etypes}
+    # Reuse the single-device step body with update disabled; we take grads
+    # here so we can insert the collective between grad and update.
+    from gnn_recsys_tpu.models.loss import max_margin_loss  # noqa: F401
+
+    eval_step = make_minibatch_step(
+        model, cfg, tuple(train_etypes), with_update=False,
+        with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
+        jit=False,
+    )
+
+    def local_loss(params, state, graph, features, batch, edge_tables, rng):
+        st = state.replace(params=params)
+        _, loss = eval_step(st, graph, features, batch, edge_tables, rng)
+        return loss
+
+    def step(state, graph, features, batch, edge_tables, rng):
+        repl_specs = jax.tree.map(lambda _: P(), (state, graph, features,
+                                                  edge_tables))
+        batch_spec = jax.tree.map(lambda _: P(axis), batch)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(repl_specs[0], repl_specs[1], repl_specs[2],
+                      batch_spec, repl_specs[3], P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def _sharded(state, graph, features, batch, edge_tables, rng):
+            shard_rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            loss, grads = jax.value_and_grad(local_loss)(
+                state.params, state, graph, features, batch, edge_tables,
+                shard_rng,
+            )
+            grads = jax.lax.pmean(grads, axis)
+            loss = jax.lax.pmean(loss, axis)
+            state = state.apply_gradients(grads=grads)
+            return state, loss
+
+        return _sharded(state, graph, features, batch, edge_tables, rng)
+
+    return jax.jit(step)
+
+
+def row_sharded_lookup(table_shard: jax.Array, ids: jax.Array,
+                       axis: str = "model") -> jax.Array:
+    """Gather rows of a row-sharded table inside ``shard_map``.
+
+    table_shard: [N/m, D] — this device's contiguous rows; ids: [B] global
+    row ids (replicated across the axis).  Returns [B, D] full rows on
+    every shard: local gather where owned, zeros elsewhere, ``psum`` to
+    assemble.
+    """
+    m = jax.lax.axis_size(axis)
+    my = jax.lax.axis_index(axis)
+    per = table_shard.shape[0]
+    lo = my * per
+    local = ids - lo
+    owned = (local >= 0) & (local < per)
+    safe = jnp.clip(local, 0, per - 1)
+    rows = jnp.take(table_shard, safe, axis=0)
+    rows = jnp.where(owned[:, None], rows, 0)
+    return jax.lax.psum(rows, axis)

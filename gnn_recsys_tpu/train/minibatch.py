@@ -138,6 +138,7 @@ def make_minibatch_step(
     with_update: bool,
     with_exclusion: bool,
     has_reverse: Dict[CanonicalEtype, bool],
+    jit: bool = True,
 ) -> Callable:
     """Build the jit'd minibatch step.
 
@@ -232,6 +233,8 @@ def make_minibatch_step(
             loss = loss_fn(state.params)
         return state, loss
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if with_update else ())
 
 
