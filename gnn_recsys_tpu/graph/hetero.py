@@ -139,7 +139,14 @@ def coo_to_padded_csc(
         k = natural_k
     k = max(_round_up(max(k, 1), fanout_multiple), fanout_multiple)
 
-    # Stable sort by dst keeps edge-id order within each row.
+    # Native C++ single-pass packer (gnn_recsys_tpu/native); same semantics.
+    from gnn_recsys_tpu import native
+
+    packed = native.csc_pack(src, dst, num_dst, k)
+    if packed is not None:
+        return packed
+
+    # numpy fallback: stable sort by dst keeps edge-id order within rows.
     order = np.argsort(dst, kind="stable")
     sorted_dst = dst[order]
     # Position of each edge within its destination's row.
