@@ -292,6 +292,7 @@ def train_minibatch(
     verbose: bool = False,
     state: Optional[TrainState] = None,
     host_edges: Optional[Dict] = None,
+    profile_logdir: Optional[str] = None,
 ):
     """Run the reference training regime end to end. Returns (state, history).
 
@@ -359,16 +360,23 @@ def train_minibatch(
             out[et] = d
         return out
 
+    from gnn_recsys_tpu.utils.profiling import ThroughputMeter, profiler_trace
+
     host_rng = np.random.default_rng(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
+    meter = ThroughputMeter()
     history = {
         "train_loss": [], "valid_loss": [], "recall": [], "precision": [],
-        "coverage": [], "epoch_time": [],
+        "coverage": [], "epoch_time": [], "edges_per_s": [],
     }
     best_val, best_epoch, best_recall = np.inf, 0, -1.0
+    trace_ctx = profiler_trace(profile_logdir)
+    trace_ctx.__enter__()
     for epoch in range(cfg.num_epochs):
         t0 = time.perf_counter()
         losses = []
+        epoch_edges = 0
+        meter.start()
         for bi, batch_np in enumerate(
             iter_edge_batches(host_rng, train_eids, cfg.edge_batch_size)
         ):
@@ -381,7 +389,9 @@ def train_minibatch(
                 state, train_graph, features, batch, edge_tables, sub
             )
             losses.append(float(loss))
+            epoch_edges += sum(len(v) for v in batch_np.values())
         history["train_loss"].append(float(np.mean(losses)))
+        history["edges_per_s"].append(meter.stop(epoch_edges))
 
         val_loss = None
         if valid_eids:
@@ -437,4 +447,5 @@ def train_minibatch(
                 if verbose:
                     print(f"early stop at epoch {epoch}")
                 break
+    trace_ctx.__exit__(None, None, None)
     return state, history

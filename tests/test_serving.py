@@ -212,3 +212,47 @@ def test_explore_and_coverage(tmp_path, capsys):
     emb = np.asarray([[1, 0], [0.9, 0.1], [0, 1]], np.float32)
     sims = explore_sports(emb, sport_feat, spt_id, num_choices=3, top=1)
     assert sims["run"] == ["bike"]
+
+
+def test_inference_eval_with_overrides(tmp_path):
+    """Train on one data regime, re-evaluate on a rebuilt regime
+    (reference inference_hp.inference_fn semantics)."""
+    from gnn_recsys_tpu.data.presplit import presplit_data
+    from gnn_recsys_tpu.inference_eval import inference_fn
+    from gnn_recsys_tpu.trial import build_model, minibatch_config
+    from gnn_recsys_tpu.data.etl import GraphData
+    from gnn_recsys_tpu.data.split import train_valid_split
+    from gnn_recsys_tpu.train.minibatch import train_minibatch
+
+    _, df, itf, uf = make_csv_world(tmp_path, n=400, seed=9)
+    tr, te = presplit_data(itf, df, num_min=2, test_size_days=6)
+    fixed = FixedParams(include_sport=False, num_epochs=2,
+                        edge_batch_size=128)
+    hyper = HyperParams(embed_dim="small", neg_sample_size=8,
+                        aggregator_type="mean", dropout=0.0,
+                        embedding_layer=True, use_recency=False,
+                        popularity_importance="no")
+    dfs = dict(train=tr, test=te, item_feat=itf, user_feat=uf)
+    gd = GraphData.from_dataframes(fixed, **dfs)
+    split = train_valid_split(gd.graph, gd.ground_truth_test, fixed)
+    model = build_model(gd, fixed, hyper)
+    cfg = minibatch_config(fixed, hyper, model, neg_pool_size=16)
+    cfg.num_epochs = 2
+    feats = {nt: gd.graph.ndata[nt]["features"] for nt in gd.graph.ntypes}
+    state, _ = train_minibatch(model, split.train_graph, gd.graph, feats,
+                               split.train_eids, None, cfg)
+    # re-evaluate under a shorter purchase window
+    p, r, c = inference_fn(state.params, model, fixed, hyper, dfs,
+                           days_of_purchases=15, days_of_clicks=15)
+    assert 0 <= p <= 1 and 0 <= r <= 1 and 0 <= c <= 1
+
+
+def test_throughput_meter():
+    import time as _t
+    from gnn_recsys_tpu.utils.profiling import ThroughputMeter
+
+    m = ThroughputMeter()
+    m.start()
+    _t.sleep(0.01)
+    rate = m.stop(100)
+    assert rate > 0 and m.mean_edges_per_s > 0
