@@ -1,0 +1,72 @@
+"""Retrieval benchmark: full-catalog top-k queries/s.
+
+North-star serving metric (BASELINE.md): full-catalog MIPS top-k QPS with
+already-bought masking.  Compares the XLA chunked path against the fused
+Pallas kernel.
+
+Usage: python benchmarks/retrieval_qps.py [--users 8192 --items 100000 --d 128]
+Prints one JSON line per backend.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=8192)
+    ap.add_argument("--items", type=int, default=100_000)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--bought-per-user", type=int, default=20)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_recsys_tpu.ops.membership import build_padded_pair_set
+    from gnn_recsys_tpu.retrieval.recs import get_recs
+
+    rng = np.random.default_rng(0)
+    ue = jnp.asarray(rng.normal(size=(args.users, args.d)).astype(np.float32))
+    ie = jnp.asarray(rng.normal(size=(args.items, args.d)).astype(np.float32))
+    ab_u = np.repeat(np.arange(args.users, dtype=np.int32),
+                     args.bought_per_user)
+    ab_i = rng.integers(0, args.items, len(ab_u)).astype(np.int32)
+    ps = build_padded_pair_set(ab_u, ab_i, num_src=args.users)
+    uids = jnp.arange(args.users, dtype=jnp.int32)
+
+    for backend in ("xla", "pallas"):
+        def run():
+            return get_recs(ue, ie, uids, args.k, already_bought=ps,
+                            backend=backend)
+
+        out = run()
+        jax.block_until_ready(out)  # compile
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            out = run()
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        qps = args.users * reps / dt
+        print(json.dumps({
+            "metric": f"retrieval_qps_{backend}",
+            "value": round(qps, 1),
+            "unit": "users/s",
+            "catalog": args.items,
+            "k": args.k,
+        }))
+
+
+if __name__ == "__main__":
+    main()
