@@ -17,7 +17,7 @@ import json
 
 import click
 
-from gnn_recsys_tpu.config import DataPaths, FixedParams, HyperParams, SPECIFIC
+from gnn_recsys_tpu.config import FixedParams, HyperParams, SPECIFIC
 from gnn_recsys_tpu.data.io import read_data, save_txt
 from gnn_recsys_tpu.data.presplit import presplit_data
 from gnn_recsys_tpu.trial import run_trial

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 # Item-id granularity (reference main.py:63-65).
 SPECIFIC = "specific_id"

@@ -15,8 +15,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Tuple
 
-import numpy as np
-
 from gnn_recsys_tpu.config import FixedParams, HyperParams
 from gnn_recsys_tpu.data.etl import GraphData
 from gnn_recsys_tpu.models.conv_model import ConvModel

@@ -37,8 +37,6 @@ from gnn_recsys_tpu.models.layers import (
 from gnn_recsys_tpu.ops.message import (
     coo_segment_max,
     coo_segment_mean,
-    csc_gather_mean,
-    csc_gather_max,
     edge_dot,
 )
 

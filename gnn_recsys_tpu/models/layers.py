@@ -19,7 +19,7 @@ layer serves full-graph, sampled-tree, and Pallas execution paths.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

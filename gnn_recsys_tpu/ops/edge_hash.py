@@ -16,8 +16,6 @@ builder re-seeds and rebuilds on the rare failure.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,8 +16,6 @@ import os
 import pickle
 from typing import Any, Dict, Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from gnn_recsys_tpu.graph.hetero import HeteroGraph

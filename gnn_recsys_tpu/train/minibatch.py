@@ -47,7 +47,6 @@ from gnn_recsys_tpu.graph.hetero import CanonicalEtype, HeteroGraph
 from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.models.loss import max_margin_loss
 from gnn_recsys_tpu.ops.membership import (
-    PaddedPairSet,
     build_padded_pair_set,
     pair_set_contains,
 )

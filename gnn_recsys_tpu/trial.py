@@ -13,10 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Dict, Optional, Tuple
-
-import jax.numpy as jnp
-import numpy as np
+from typing import Dict, Optional
 
 from gnn_recsys_tpu.config import (
     GENERAL,
