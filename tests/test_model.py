@@ -39,7 +39,7 @@ def small_setup(aggregator="mean", pred="cos", n_layers=3, hetero_agg="sum",
 @pytest.mark.parametrize(
     "aggregator",
     ["mean", "mean_nn", "pool_nn", "mean_edge", "mean_nn_edge", "pool_nn_edge",
-     "lstm"],
+     "lstm", "lstm_edge"],
 )
 def test_forward_all_aggregators(aggregator):
     model, g, feats, pairs, params, _ = small_setup(aggregator)

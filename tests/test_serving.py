@@ -256,3 +256,45 @@ def test_throughput_meter():
     _t.sleep(0.01)
     rate = m.stop(100)
     assert rate > 0 and m.mean_edges_per_s > 0
+
+
+def test_run_trial_with_sports(tmp_path):
+    """include_sport end-to-end: 10-etype hetero graph through a trial."""
+    from gnn_recsys_tpu.data.presplit import presplit_data
+    from gnn_recsys_tpu.trial import run_trial
+
+    _, df, itf, uf = make_csv_world(tmp_path, n=400, seed=4)
+    tr, te = presplit_data(itf, df, num_min=2, test_size_days=6)
+    items = itf[C.specific_item_id]
+    item_sport = pd.DataFrame({
+        C.specific_item_id: items,
+        C.spt_id: [f"s{i % 4}" for i in range(len(items))],
+    })
+    user_sport = pd.DataFrame({
+        C.ctm_id: uf[C.ctm_id],
+        C.spt_id: [f"s{i % 4}" for i in range(len(uf))],
+    })
+    sport_sportg = pd.DataFrame({
+        C.sports_id: [f"s{i}" for i in range(4)],
+        C.sportsgroup_id: ["g0", "g0", "g1", "g1"],
+    })
+    sport_feat = pd.DataFrame({C.spt_id: [f"s{i}" for i in range(4)] + ["g0", "g1"],
+                               "name": list("abcdef")})
+    sport_onehot = pd.DataFrame({
+        C.spt_id: [f"s{i}" for i in range(4)] + ["g0", "g1"],
+        **{f"h{j}": [1 if i == j else 0 for i in range(6)] for j in range(6)},
+    })
+    fixed = FixedParams(include_sport=True, num_epochs=2, edge_batch_size=128)
+    hyper = HyperParams(embed_dim="small", neg_sample_size=8,
+                        aggregator_type="mean", dropout=0.0,
+                        embedding_layer=True, use_recency=True,
+                        popularity_importance="small")
+    result = run_trial(
+        fixed, hyper,
+        dataframes=dict(train=tr, test=te, item_feat=itf, user_feat=uf,
+                        item_sport=item_sport, user_sport=user_sport,
+                        sport_sportg=sport_sportg, sport_feat=sport_feat,
+                        sport_onehot=sport_onehot),
+        neg_pool_size=16,
+    )
+    assert np.isfinite(result.recall)
