@@ -287,6 +287,7 @@ def train_minibatch(
     valid_eids: Optional[Dict[CanonicalEtype, np.ndarray]],
     cfg: MinibatchConfig,
     test_ground_truth: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    subtrain_ground_truth: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     already_bought: Optional[Tuple[np.ndarray, np.ndarray]] = None,
     verbose: bool = False,
     state: Optional[TrainState] = None,
@@ -366,7 +367,8 @@ def train_minibatch(
     meter = ThroughputMeter()
     history = {
         "train_loss": [], "valid_loss": [], "recall": [], "precision": [],
-        "coverage": [], "epoch_time": [], "edges_per_s": [],
+        "coverage": [], "subtrain_recall": [], "epoch_time": [],
+        "edges_per_s": [],
     }
     best_val, best_epoch, best_recall = np.inf, 0, -1.0
     trace_ctx = profiler_trace(profile_logdir)
@@ -427,6 +429,16 @@ def train_minibatch(
             history["precision"].append(precision)
             history["coverage"].append(coverage)
             best_recall = max(best_recall, recall)
+            # Train-set metrics on the subtrain user sample
+            # (reference run.py:205-277 computes both).
+            if subtrain_ground_truth is not None and len(
+                subtrain_ground_truth[0]
+            ):
+                _, sub_recall, _ = get_metrics_at_k(
+                    h["user"], h["item"], subtrain_ground_truth,
+                    already_bought, cfg.k,
+                )
+                history["subtrain_recall"].append(sub_recall)
             if verbose:
                 print(
                     f"epoch {epoch}: train_loss={history['train_loss'][-1]:.4f}"

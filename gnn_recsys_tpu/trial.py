@@ -160,6 +160,7 @@ def run_trial(
         split.valid_eids,
         cfg,
         test_ground_truth=split.ground_truth_valid,
+        subtrain_ground_truth=split.ground_truth_subtrain,
         already_bought=(
             gd.adjacency_dict.get("purchases_src", gd.adjacency_dict.get("user_item_src")),
             gd.adjacency_dict.get("purchases_dst", gd.adjacency_dict.get("user_item_dst")),
