@@ -29,10 +29,10 @@ def build():
     from gnn_recsys_tpu.utils.synthetic import make_synthetic_data
 
     data = make_synthetic_data(
-        num_users=200_000,
-        num_items=50_000,
+        num_users=100_000,
+        num_items=30_000,
         num_groups=64,
-        interactions_per_user=30,
+        interactions_per_user=10,
         test_per_user=2,
         feat_dim=8,
         with_clicks=True,
