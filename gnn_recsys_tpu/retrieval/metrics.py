@@ -92,7 +92,13 @@ def get_metrics_at_k(
     num_items = item_emb.shape[0]
     already_table = None
     if already_bought is not None:
-        n_src = int(np.max(already_bought[0])) + 1 if len(already_bought[0]) else 1
+        # Rows must cover every QUERIED user id, not just users with bought
+        # pairs — a too-small table would clip high ids onto the last row.
+        n_src = user_emb.shape[0]
+        if len(already_bought[0]):
+            n_src = max(n_src, int(np.max(already_bought[0])) + 1)
+        if user_ids.shape[0]:
+            n_src = max(n_src, int(jnp.max(user_ids)) + 1)
         already_table = build_padded_pair_set(
             already_bought[0], already_bought[1], num_src=n_src
         )

@@ -148,3 +148,18 @@ def test_mrr():
     # rank of pos[0]: 1 neg >= 1.0 -> rank 2 ; pos[1]: 2 negs >= 0 -> rank 3
     got = float(mrr_neg_edges(pos, neg))
     np.testing.assert_allclose(got, (1 / 2 + 1 / 3) / 2, rtol=1e-6)
+
+
+def test_already_bought_table_covers_all_queried_users():
+    """Regression: users beyond the max bought-user id must not inherit the
+    last row's exclusions (jnp.take clips out-of-range ids)."""
+    rng = np.random.default_rng(11)
+    ue = rng.normal(size=(10, 4)).astype(np.float32)
+    ie = rng.normal(size=(6, 4)).astype(np.float32)
+    # only user 0 has bought pairs; users 8,9 appear in ground truth
+    ab = (np.array([0, 0], np.int32), np.array([1, 2], np.int32))
+    gt = (np.array([0, 8, 9], np.int32), np.array([3, 1, 2], np.int32))
+    p, r, c = get_metrics_at_k(jnp.asarray(ue), jnp.asarray(ie), gt, ab, k=6)
+    # with k=6 == catalog size, users 8/9 must still see items 1 and 2
+    # (they never bought them); recall counts their gt hits
+    assert r == 1.0 or r > 0.66  # items 1,2 recommended for 8,9; 3 for 0
