@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import sys
+import threading
 import time
 
 import jax
@@ -24,13 +25,46 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build():
+def ensure_responsive_device(probe_timeout_s: float = 90.0) -> bool:
+    """Fall back to CPU if the accelerator hangs.
+
+    The axon TPU tunnel can wedge (ops hang indefinitely rather than
+    erroring), and a hung op poisons the whole process — so probe in a
+    SUBPROCESS.  On timeout, force the CPU platform in this process before
+    any jax op runs, so the benchmark still reports a line.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import jax, jax.numpy as jnp;"
+                "jax.block_until_ready(jnp.ones((64,64)) @ jnp.ones((64,64)))",
+            ],
+            timeout=probe_timeout_s,
+            capture_output=True,
+        )
+        if proc.returncode == 0:
+            return True
+    except subprocess.TimeoutExpired:
+        pass
+    print(
+        f"device probe hung/failed (> {probe_timeout_s}s); CPU fallback",
+        file=sys.stderr,
+    )
+    jax.config.update("jax_platforms", "cpu")
+    return False
+
+
+def build(small: bool = False):
     from gnn_recsys_tpu.models.conv_model import ConvModel
     from gnn_recsys_tpu.utils.synthetic import make_synthetic_data
 
     data = make_synthetic_data(
-        num_users=100_000,
-        num_items=30_000,
+        num_users=10_000 if small else 100_000,
+        num_items=4_000 if small else 30_000,
         num_groups=64,
         interactions_per_user=10,
         test_per_user=2,
@@ -41,14 +75,15 @@ def build():
     )
     g = data.graph
     # Reference default "Medium" dims: hidden 256 / out 128 (main.py:86-89).
+    hidden, out = (64, 32) if small else (256, 128)
     model = ConvModel(
         canonical_etypes=g.canonical_etypes,
-        dims=(("user", 8), ("item", 8), ("hidden", 256), ("out", 128)),
+        dims=(("user", 8), ("item", 8), ("hidden", hidden), ("out", out)),
         n_layers=3,
         aggregator_type="mean_nn",
         pred="cos",
         aggregator_hetero="sum",
-        dtype=jnp.bfloat16,
+        dtype=None if small else jnp.bfloat16,
     )
     feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
     return model, data, g, feats
@@ -65,14 +100,17 @@ def main():
         make_minibatch_step,
     )
 
+    on_accel = ensure_responsive_device()
     t_build = time.perf_counter()
-    model, data, g, feats = build()
+    # Degraded CPU-fallback config keeps the bench reporting when the
+    # accelerator tunnel is wedged; the value is then NOT comparable.
+    model, data, g, feats = build(small=not on_accel)
     cfg = MinibatchConfig(
-        edge_batch_size=2048,
+        edge_batch_size=2048 if on_accel else 512,
         fanouts=(8, 4),
         neg_sample_size=2500,  # reference default (main.py:511)
         neg_mode="shared_pool",
-        neg_pool_size=4096,
+        neg_pool_size=4096 if on_accel else 512,
     )
     params = init_model(model, g, feats, seed=0)
     state = TrainState.create(
