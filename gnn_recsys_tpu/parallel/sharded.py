@@ -171,6 +171,57 @@ def make_shardmap_dp_step(
     return jax.jit(step)
 
 
+def row_sharded_lookup_a2a(
+    table_shard: jax.Array,
+    ids_shard: jax.Array,
+    axis: str = "model",
+) -> jax.Array:
+    """All-to-all embedding-row exchange for SHARDED queries x SHARDED table.
+
+    The BASELINE north-star lookup pattern: each device holds a slice of the
+    id batch (``ids_shard`` [B/m]) and a contiguous row range of the table
+    (``table_shard`` [N/m, D]).  Requests are bucketed by owner shard,
+    exchanged with ``all_to_all`` over ICI, answered by a local gather, and
+    routed back with a second ``all_to_all`` — communication
+    O(B/m * D * m) worst case (capacity = the full local batch per peer; a
+    production sizing would use a statistical capacity with overflow
+    retry).  Returns the [B/m, D] rows for this shard's ids.
+    """
+    m = jax.lax.axis_size(axis)
+    my = jax.lax.axis_index(axis)
+    per_rows = table_shard.shape[0]
+    b = ids_shard.shape[0]
+    d = table_shard.shape[1]
+
+    owner = jnp.clip(ids_shard // per_rows, 0, m - 1)  # [B]
+    # Stable-sort queries by owner; slot queries into per-owner buckets of
+    # capacity b (worst case: every id owned by one shard).
+    order = jnp.argsort(owner, stable=True)
+    sorted_ids = ids_shard[order]
+    sorted_owner = owner[order]
+    # position of each sorted query within its owner's bucket
+    pos_in_bucket = jnp.arange(b) - jnp.searchsorted(
+        sorted_owner, sorted_owner, side="left"
+    )
+    send_ids = jnp.full((m, b), -1, dtype=ids_shard.dtype)
+    send_ids = send_ids.at[sorted_owner, pos_in_bucket].set(sorted_ids)
+
+    # Exchange request buckets: recv[j] = the bucket peer j sent to me.
+    recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0, tiled=False)
+
+    # Answer: gather my rows for every valid request.
+    local = recv_ids - my * per_rows
+    valid = (recv_ids >= 0) & (local >= 0) & (local < per_rows)
+    rows = jnp.take(table_shard, jnp.clip(local, 0, per_rows - 1), axis=0)
+    rows = jnp.where(valid[..., None], rows, 0)  # [m, b, D]
+
+    # Route responses back and un-bucket.
+    resp = jax.lax.all_to_all(rows, axis, 0, 0, tiled=False)  # [m, b, D]
+    gathered_sorted = resp[sorted_owner, pos_in_bucket]  # [B, D]
+    out = jnp.zeros((b, d), table_shard.dtype).at[order].set(gathered_sorted)
+    return out
+
+
 def row_sharded_lookup(table_shard: jax.Array, ids: jax.Array,
                        axis: str = "model") -> jax.Array:
     """Gather rows of a row-sharded table inside ``shard_map``.

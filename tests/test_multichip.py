@@ -161,3 +161,34 @@ def test_row_sharded_lookup_equals_gather():
         np.asarray(got), np.asarray(jnp.take(table, ids, axis=0)),
         rtol=1e-6,
     )
+
+
+def test_row_sharded_lookup_a2a_equals_gather():
+    """Sharded-queries x sharded-table all_to_all exchange == plain gather."""
+    from gnn_recsys_tpu.parallel.sharded import row_sharded_lookup_a2a
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("model",))
+    n, d, b = 64, 16, 32  # 8 rows/shard, 4 ids/shard
+    rng = np.random.default_rng(3)
+    table = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    # deliberately skewed: many ids hit shard 0
+    ids = jnp.asarray(
+        np.concatenate([rng.integers(0, 8, b // 2),
+                        rng.integers(0, n, b - b // 2)]).astype(np.int32)
+    )
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model")),
+        out_specs=P("model"),
+        check_vma=False,
+    )
+    def lookup(table_shard, ids_shard):
+        return row_sharded_lookup_a2a(table_shard, ids_shard, "model")
+
+    got = lookup(table, ids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+    )
