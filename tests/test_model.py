@@ -136,3 +136,55 @@ def test_manual_parity_single_etype_mean():
         + agg_u @ np.asarray(lr["fc_neigh"]["kernel"]), 0)
     np.testing.assert_allclose(np.asarray(h["item"]), zi, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(h["user"]), zu, rtol=1e-5, atol=1e-5)
+
+
+def test_generic_numpy_oracle_hetero_forward():
+    """Full hetero forward (mean agg, sum hetero, L2 norm, embedding layer)
+    vs an independent numpy implementation on a random 4-etype graph."""
+    model, g, feats, pairs, params, _ = small_setup(
+        aggregator="mean", hetero_agg="sum"
+    )
+    # re-init without dropout for exactness
+    model = ConvModel(
+        canonical_etypes=g.canonical_etypes,
+        dims=model.dims, n_layers=3, aggregator_type="mean", pred="cos",
+        aggregator_hetero="sum", dropout=0.0, norm=True,
+    )
+    params = model.init(jax.random.PRNGKey(1), g, feats, pairs, pairs)
+    h, _, _ = model.apply(params, g, feats, pairs, pairs, deterministic=True)
+
+    p = params["params"]
+
+    def np_dense(name_prefix, x, layer_key=None):
+        w = p[name_prefix]["proj_feats"]["kernel"]
+        b = p[name_prefix]["proj_feats"]["bias"]
+        return np.asarray(x) @ np.asarray(w) + np.asarray(b)
+
+    # embedding layer
+    hh = {nt: np_dense(f"{nt}_embed", feats[nt]) for nt in g.ntypes}
+
+    def mean_agg(h_src, rel, num_dst):
+        src = np.asarray(rel.src); dst = np.asarray(rel.dst)
+        out = np.zeros((num_dst, h_src.shape[1]))
+        cnt = np.zeros(num_dst)
+        for s, d in zip(src, dst):
+            out[d] += h_src[s]; cnt[d] += 1
+        return out / np.maximum(cnt, 1)[:, None]
+
+    for layer_idx in range(2):
+        new_h = {}
+        for et in g.canonical_etypes:
+            key = f"layer{layer_idx}_" + "__".join(et)
+            lw = p[key]
+            agg = mean_agg(hh[et[0]], g.rels[et], g.num_nodes(et[2]))
+            z = hh[et[2]] @ np.asarray(lw["fc_self"]["kernel"]) + \
+                agg @ np.asarray(lw["fc_neigh"]["kernel"])
+            z = np.maximum(z, 0)
+            norms = np.linalg.norm(z, axis=1, keepdims=True)
+            z = z / np.where(norms == 0, 1.0, norms)
+            new_h.setdefault(et[2], []).append(z)
+        hh = {nt: np.sum(zs, axis=0) for nt, zs in new_h.items()}
+
+    for nt in ("user", "item"):
+        np.testing.assert_allclose(np.asarray(h[nt]), hh[nt],
+                                   rtol=2e-4, atol=1e-5)
