@@ -68,18 +68,33 @@ def inference_ondemand(
     node_batch_size: int = 128,
     use_popularity: bool = False,
     weight_popularity: float = 1.0,
+    rebuild_dataframes: Optional[Dict] = None,
 ) -> Dict:
     """Recommendations for external user ids from a saved run directory.
 
     Mirrors ``inference_ondemand`` (main_inference.py:20-175): load graph +
     id maps + model, embed users and full catalog, retrieve top-k, map ids.
-    ``user_ids='all'`` recommends for every known user.
+    ``user_ids='all'`` recommends for every known user.  When the run has no
+    saved graph, ``rebuild_dataframes`` rebuilds it from raw data with the
+    saved fixed params (reference main_inference.py:69-87 rebuild path).
     """
     run = load_run(run_dir)
     graph = run["graph"]
-    if graph is None:
-        raise FileNotFoundError(f"{run_dir}/graph.npz missing")
     id_maps = run["id_maps"] or {}
+    if graph is None and rebuild_dataframes is not None:
+        from gnn_recsys_tpu.config import FixedParams
+        from gnn_recsys_tpu.data.etl import GraphData
+
+        fp = FixedParams(**(run["fixed_params"] or {}))
+        gd = GraphData.from_dataframes(fp, **rebuild_dataframes)
+        graph = gd.graph
+        id_maps = {"ctm_id": gd.ctm_id, "pdt_id": gd.pdt_id,
+                   "spt_id": gd.spt_id}
+    if graph is None:
+        raise FileNotFoundError(
+            f"{run_dir}/graph.npz missing (pass rebuild_dataframes to "
+            f"rebuild from raw data)"
+        )
     ctm_id_df = id_maps.get("ctm_id")
     pdt_id_df = id_maps.get("pdt_id")
 

@@ -169,8 +169,11 @@ def run_trial(
     )
 
     # Final test metrics on BOTH ground truths (main.py:279-312).
+    # Test-time embeddings message-pass over the FULL graph, not the train
+    # graph (reference nodeloader_test samples from valid_graph,
+    # sampling.py:233-241).
     h = compute_embeddings_minibatch(
-        model, state.params, split.train_graph, features,
+        model, state.params, g, features,
         node_batch_size=fixed.node_batch_size, ntypes=("user", "item"),
     )
     already = (
