@@ -29,6 +29,8 @@ def make_mesh(
     devices = jax.devices()
     n = n_devices or len(devices)
     devices = devices[:n]
+    if len(axis_names) == 1:
+        return Mesh(np.asarray(devices), tuple(axis_names))
     if data_axis is None:
         model = 2 if n % 2 == 0 and n > 1 else 1
         data_axis = n // model

@@ -62,7 +62,11 @@ def shard_inputs(
     """Place training inputs on the mesh: state/graph/tables replicated,
     selected node-feature tables row-sharded over the 'model' axis."""
     repl = replicated(mesh)
-    rows = row_sharded(mesh)
+    rows = (
+        row_sharded(mesh)
+        if row_shard_ntypes and "model" in mesh.shape
+        else repl
+    )
     state = jax.device_put(state, repl)
     graph = jax.tree.map(lambda x: jax.device_put(x, repl), graph)
     features = {

@@ -109,14 +109,22 @@ def iter_edge_batches(
     rng: np.random.Generator,
     eids: Dict[CanonicalEtype, np.ndarray],
     batch_size: int,
+    round_to: int = 1,
 ):
     """Proportional per-etype slices, shuffled each epoch, wrapping at the
-    end so every batch has a static shape."""
+    end so every batch has a static shape.  ``round_to`` rounds each
+    per-etype slice up to a multiple (data-parallel shard divisibility)."""
     etypes = list(eids.keys())
     counts = {et: len(eids[et]) for et in etypes}
     total = sum(counts.values())
     per_et = {
-        et: max(1, int(round(batch_size * counts[et] / max(total, 1))))
+        et: max(
+            round_to,
+            int(np.ceil(
+                max(1, round(batch_size * counts[et] / max(total, 1)))
+                / round_to
+            )) * round_to,
+        )
         for et in etypes
     }
     n_batches = max(1, int(np.ceil(total / batch_size)))
@@ -293,6 +301,7 @@ def train_minibatch(
     state: Optional[TrainState] = None,
     host_edges: Optional[Dict] = None,
     profile_logdir: Optional[str] = None,
+    mesh=None,
 ):
     """Run the reference training regime end to end. Returns (state, history).
 
@@ -362,6 +371,19 @@ def train_minibatch(
 
     from gnn_recsys_tpu.utils.profiling import ThroughputMeter, profiler_trace
 
+    data_extent = 1
+    if mesh is not None:
+        from gnn_recsys_tpu.parallel.sharded import (
+            shard_batch_dict,
+            shard_inputs,
+        )
+
+        data_extent = mesh.shape["data"]
+        state, train_graph, features, edge_tables = shard_inputs(
+            mesh, state, train_graph, features, edge_tables,
+            row_shard_ntypes=(),
+        )
+
     host_rng = np.random.default_rng(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
     meter = ThroughputMeter()
@@ -379,11 +401,14 @@ def train_minibatch(
         epoch_edges = 0
         meter.start()
         for bi, batch_np in enumerate(
-            iter_edge_batches(host_rng, train_eids, cfg.edge_batch_size)
+            iter_edge_batches(host_rng, train_eids, cfg.edge_batch_size,
+                              round_to=data_extent)
         ):
             if epoch == 0 and bi >= 10:
                 break  # epoch-0 smoke pass (run.py:136-142)
             batch = make_batch(train_store, batch_np, with_eids=True)
+            if mesh is not None:
+                batch = shard_batch_dict(mesh, batch)
             rng, sub = jax.random.split(rng)
             step = smoke_step if epoch == 0 else train_step
             state, loss = step(
@@ -398,9 +423,12 @@ def train_minibatch(
         if valid_eids:
             vlosses = []
             for batch_np in iter_edge_batches(
-                host_rng, valid_eids, cfg.edge_batch_size
+                host_rng, valid_eids, cfg.edge_batch_size,
+                round_to=data_extent,
             ):
                 batch = make_batch(valid_store, batch_np, with_eids=False)
+                if mesh is not None:
+                    batch = shard_batch_dict(mesh, batch)
                 rng, sub = jax.random.split(rng)
                 # Held-out pairs scored over TRAIN-graph neighborhoods
                 # (reference g_sampling, sampling.py:196-207).

@@ -192,3 +192,19 @@ def test_row_sharded_lookup_a2a_equals_gather():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
     )
+
+
+def test_train_minibatch_with_mesh(world):
+    """End-to-end DP training through train_minibatch(mesh=...)."""
+    from gnn_recsys_tpu.train.minibatch import train_minibatch
+
+    data, g, model, feats, state, cfg, etypes, batch, tables = world
+    train_eids = {et: np.arange(g.num_edges(et)) for et in etypes}
+    mesh = make_mesh(8, data_axis=8, axis_names=("data",))
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, num_epochs=3, metrics_every=0,
+                               patience=100)
+    s, hist = train_minibatch(model, g, g, feats, train_eids, None, cfg2,
+                              mesh=mesh)
+    assert np.isfinite(hist["train_loss"]).all()
+    assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5
