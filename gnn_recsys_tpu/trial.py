@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import dataclasses
 import time
+
+import numpy as np
 from typing import Dict, Optional
 
 from gnn_recsys_tpu.config import (
@@ -222,6 +224,15 @@ def run_trial(
             graph=g,
             id_maps={"ctm_id": gd.ctm_id, "pdt_id": gd.pdt_id,
                      "spt_id": gd.spt_id},
+            # Output artifacts (reference main_train.py:373-383 pickles
+            # embeddings / already_bought / ground_truth to outputs/).
+            extras={
+                "user_embeddings": np.asarray(h["user"]),
+                "item_embeddings": np.asarray(h["item"]),
+                "already_bought": already,
+                "ground_truth_test": gd.ground_truth_test,
+                "ground_truth_purchase_test": gd.ground_truth_purchase_test,
+            },
         )
         saved_to = save_dir
 
