@@ -42,12 +42,14 @@ from gnn_recsys_tpu.trial import run_trial
 @click.option("--item-id-type", default=SPECIFIC)
 @click.option("--duplicates", default="keep_all")
 @click.option("--test-days", default=1, help="main_train.py:89-96 uses 1 day.")
+@click.option("--check-embedding", is_flag=True, default=False,
+              help="Print qualitative rec/coverage analysis after training.")
 @click.option("--result-filepath", default="outputs/result_log.txt")
 def main(interactions_path, item_feat_path, user_feat_path, item_sport_path,
          user_sport_path, sport_sportg_path, sport_feat_path,
          sport_onehot_path, hyper_json, out_dir, num_epochs, patience,
          edge_batch_size, item_id_type, duplicates, test_days,
-         result_filepath):
+         check_embedding, result_filepath):
     hyper = HyperParams()
     if hyper_json:
         with open(hyper_json) as f:
@@ -90,7 +92,7 @@ def main(interactions_path, item_feat_path, user_feat_path, item_sport_path,
     result = run_trial(
         fixed, hyper, dataframes=dataframes, save_dir=out_dir,
         save_threshold=-1.0,  # always save after full training
-        plots_dir="plots", verbose=True,
+        plots_dir="plots", verbose=True, check_embedding=check_embedding,
     )
     msg = (
         f"FULL TRAIN recall={result.recall:.4f} "

@@ -412,6 +412,8 @@ class GraphData:
     num_nodes: Dict[str, int]
     adjacency_dict: Dict[str, np.ndarray]
     user_item_train_grouped: pd.DataFrame
+    item_feat_df: Optional[pd.DataFrame] = None
+    sport_feat_df: Optional[pd.DataFrame] = None
 
     @classmethod
     def from_dataframes(
@@ -597,6 +599,8 @@ class GraphData:
             num_nodes=num_nodes,
             adjacency_dict=a,
             user_item_train_grouped=user_item_train_grouped,
+            item_feat_df=item_feat_df,
+            sport_feat_df=sport_feat_df,
         )
 
     @classmethod

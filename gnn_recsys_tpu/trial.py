@@ -117,6 +117,7 @@ def run_trial(
     dtype=None,
     neg_pool_size: int = 2048,
     verbose: bool = False,
+    check_embedding: bool = False,
 ) -> TrialResult:
     """Build data -> train -> test metrics (reference main.py:42-447)."""
     t0 = time.perf_counter()
@@ -235,6 +236,54 @@ def run_trial(
             },
         )
         saved_to = save_dir
+
+    if check_embedding:
+        # Qualitative evaluation (reference main.py:314-400): example recs,
+        # similar sports, demographic coverage.
+        from gnn_recsys_tpu.evaluation.explore import (
+            check_coverage,
+            explore_recs,
+            explore_sports,
+        )
+        from gnn_recsys_tpu.ops.membership import build_padded_pair_set
+        from gnn_recsys_tpu.retrieval.recs import get_recs
+        import jax.numpy as jnp
+
+        user_ids = np.unique(np.asarray(gd.ground_truth_test[0]))[
+            : fixed.num_choices * 4
+        ]
+        if len(user_ids):
+            ab_set = build_padded_pair_set(
+                already[0], already[1], num_src=gd.num_nodes["user"]
+            )
+            recs_arr = np.asarray(
+                get_recs(h["user"], h["item"],
+                         jnp.asarray(user_ids, jnp.int32), fixed.k,
+                         already_bought=ab_set)
+            )
+            recs_dict = {int(u): row.tolist()
+                         for u, row in zip(user_ids, recs_arr)}
+            gt_dict = {}
+            for u, i in zip(*gd.ground_truth_test):
+                gt_dict.setdefault(int(u), []).append(int(i))
+            explore_recs(
+                recs_dict, gd.user_item_train_grouped, gd.item_feat_df,
+                gd.pdt_id, gd.ctm_id, ground_truth=gt_dict,
+                num_choices=fixed.num_choices,
+                item_id_type=None if fixed.item_id_type == SPECIFIC else None,
+            )
+            if gd.item_feat_df is not None:
+                check_coverage(gd.user_item_train_grouped, gd.item_feat_df,
+                               gd.pdt_id, recs_dict)
+        if "sport" in g.ntypes and gd.sport_feat_df is not None and len(
+            gd.sport_feat_df
+        ):
+            h_sport = compute_embeddings_minibatch(
+                model, state.params, g, features,
+                node_batch_size=fixed.node_batch_size, ntypes=("sport",),
+            )["sport"]
+            explore_sports(np.asarray(h_sport), gd.sport_feat_df, gd.spt_id,
+                           num_choices=fixed.num_choices)
 
     if plots_dir is not None:
         viz = {
