@@ -307,3 +307,22 @@ def test_etl_to_training_end_to_end():
     )
     assert np.isfinite(hist["train_loss"]).all()
     assert np.isfinite(hist["valid_loss"]).all()
+
+
+def test_config_json_round_trip(tmp_path):
+    import os
+
+    from gnn_recsys_tpu.config import (
+        FixedParams,
+        HyperParams,
+        load_config,
+        save_config,
+    )
+
+    fp = FixedParams(duplicates="keep_last", remove=0.5)
+    hp = HyperParams(embed_dim="large", lr=0.005)
+    save_config(fp, os.path.join(tmp_path, "f.json"))
+    save_config(hp, os.path.join(tmp_path, "h.json"))
+    assert load_config(FixedParams, os.path.join(tmp_path, "f.json")) == fp
+    hp2 = load_config(HyperParams, os.path.join(tmp_path, "h.json"))
+    assert hp2 == hp and hp2.hidden_dim == 512

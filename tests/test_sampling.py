@@ -143,3 +143,22 @@ def test_sampled_uniform_fanout_runs_and_is_seeded(data):
     np.testing.assert_allclose(np.asarray(h1["user"]), np.asarray(h2["user"]))
     assert not np.allclose(np.asarray(h1["user"]), np.asarray(h3["user"]))
     assert h1["user"].shape == (3, 8)
+
+
+def test_deeper_model_three_conv_layers(data):
+    """n_layers=4 (3 conv layers) through the sampled path — the search
+    space goes to 5 layers (reference main.py:497)."""
+    g = data.graph
+    model = _model_for(g, n_layers=4)
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    pairs = {ET_BUYS: (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))}
+    params = model.init(jax.random.PRNGKey(0), g, feats, pairs, pairs)
+    seeds = {"user": jnp.asarray([0, 1], jnp.int32)}
+
+    def sampled(mdl):
+        return mdl.sampled_repr(g, feats, seeds, (2, 2, 2),
+                                jax.random.PRNGKey(2), deterministic=True)
+
+    h = model.apply(params, method=sampled)
+    assert h["user"].shape == (2, 8)
+    assert np.isfinite(np.asarray(h["user"])).all()
