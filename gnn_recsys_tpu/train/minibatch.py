@@ -34,6 +34,7 @@ shards).
 
 from __future__ import annotations
 
+import functools
 import dataclasses
 import time
 from typing import Callable, Dict, Optional, Tuple
@@ -260,29 +261,30 @@ def compute_embeddings_minibatch(
     if fanouts is None:
         fanouts = tuple([-1] * model.num_conv_layers)
 
-    @jax.jit
-    def run_chunk(params, ids_by_ntype, rng):
-        def fwd(mdl):
-            return mdl.sampled_repr(
-                graph, features, ids_by_ntype, fanouts, rng,
-                deterministic=True,
-            )
+    @functools.partial(jax.jit, static_argnames=("ntype", "chunk", "n"))
+    def run_all(params, rng, ntype: str, chunk: int, n: int):
+        pad = (-n) % chunk
+        ids = jnp.concatenate(
+            [jnp.arange(n, dtype=jnp.int32), jnp.zeros(pad, jnp.int32)]
+        ).reshape(-1, chunk)
 
-        return model.apply(params, method=fwd)
+        def one(chunk_ids):
+            def fwd(mdl):
+                return mdl.sampled_repr(
+                    graph, features, {ntype: chunk_ids}, fanouts, rng,
+                    deterministic=True,
+                )
+
+            return model.apply(params, method=fwd)[ntype]
+
+        return jax.lax.map(one, ids).reshape(-1, model.out_dim)[:n]
 
     out = {}
     rng = jax.random.PRNGKey(0)
     for ntype in ntypes or graph.ntypes:
         n = graph.num_nodes(ntype)
-        table = np.zeros((n, model.out_dim), dtype=np.float32)
         c = min(node_batch_size, n)
-        for start in range(0, n, c):
-            ids = np.arange(start, min(start + c, n), dtype=np.int32)
-            pad = c - len(ids)
-            ids_p = np.concatenate([ids, np.zeros(pad, np.int32)])
-            h = run_chunk(params, {ntype: jnp.asarray(ids_p)}, rng)[ntype]
-            table[ids] = np.asarray(h)[: len(ids)]
-        out[ntype] = jnp.asarray(table)
+        out[ntype] = run_all(params, rng, ntype, c, n)
     return out
 
 
