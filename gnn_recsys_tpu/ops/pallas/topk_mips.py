@@ -84,7 +84,8 @@ def _mips_kernel(u_ref, i_ref, vals_ref, idx_ref, acc_vals, acc_idx, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "tile_users", "tile_items", "interpret")
+    jax.jit,
+    static_argnames=("k", "tile_users", "tile_items", "interpret", "bf16"),
 )
 def mips_topk(
     user_emb: jax.Array,
@@ -93,17 +94,20 @@ def mips_topk(
     tile_users: int = 128,
     tile_items: int = 512,
     interpret: bool = False,
+    bf16: bool = False,
 ):
     """Top-k inner-product search: returns (values [U,k], indices [U,k]).
 
-    user_emb: [U, D]; item_emb: [I, D]. Inputs are cast to f32 for scoring
-    (accumulation is f32 on the MXU either way).  For cosine similarity,
-    L2-normalize both inputs first.
+    user_emb: [U, D]; item_emb: [I, D].  ``bf16=True`` feeds the MXU
+    bfloat16 inputs (half the HBM traffic for the catalog; accumulation
+    stays f32 via ``preferred_element_type``); otherwise inputs are cast to
+    f32.  For cosine similarity, L2-normalize both inputs first.
     """
     u, d = user_emb.shape
     num_items = item_emb.shape[0]
-    user_emb = user_emb.astype(jnp.float32)
-    item_emb = item_emb.astype(jnp.float32)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    user_emb = user_emb.astype(dt)
+    item_emb = item_emb.astype(dt)
 
     pad_u = (-u) % tile_users
     if pad_u:

@@ -78,3 +78,17 @@ def test_get_recs_pallas_backend_matches_xla():
         )
         banned = set(ab_i[ab_u == r].tolist())
         assert not (set(r_pal[r].tolist()) & banned)
+
+
+def test_mips_topk_bf16_close_to_f32():
+    rng = np.random.default_rng(4)
+    ue = rng.normal(size=(16, 64)).astype(np.float32)
+    ie = rng.normal(size=(300, 64)).astype(np.float32)
+    v32, i32 = mips_topk(jnp.asarray(ue), jnp.asarray(ie), 5,
+                         tile_users=8, tile_items=128, interpret=True)
+    v16, i16 = mips_topk(jnp.asarray(ue), jnp.asarray(ie), 5,
+                         tile_users=8, tile_items=128, interpret=True,
+                         bf16=True)
+    # bf16 scoring reorders only near-ties; top-k VALUES stay close
+    np.testing.assert_allclose(np.asarray(v16), np.asarray(v32),
+                               rtol=2e-2, atol=5e-2)
