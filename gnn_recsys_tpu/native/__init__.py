@@ -57,6 +57,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.csc_pack.restype = None
     lib.csc_max_degree.argtypes = [i32p, ctypes.c_int64, ctypes.c_int64]
     lib.csc_max_degree.restype = ctypes.c_int32
+    u32 = ctypes.c_uint32
+    lib.cuckoo_build.argtypes = [
+        i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+        u32, u32, u32, u32, i32p, i32p,
+    ]
+    lib.cuckoo_build.restype = ctypes.c_int64
     _lib = lib
     return _lib
 
@@ -99,6 +105,47 @@ def csc_pack(
         _ptr(deg, ctypes.c_int32),
     )
     return nbr, nbr_eid, nbr_mask.astype(bool), deg
+
+
+def cuckoo_build(
+    src: np.ndarray,
+    dst: np.ndarray,
+    capacity: int,
+    mix_a1: int,
+    mix_b1: int,
+    mix_a2: int,
+    mix_b2: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, int]]:
+    """Native cuckoo insert of (src, dst) pairs into two [capacity] tables.
+
+    Returns ``(slot_u, slot_v, n_inserted)`` with shapes ``[2, capacity]``,
+    ``n_inserted`` the distinct-pair count (duplicates skipped in-stream),
+    or None when the native lib is unavailable OR an insertion chain
+    exceeded the kick budget (caller re-seeds/grows, matching the numpy
+    builder's protocol in :mod:`gnn_recsys_tpu.ops.edge_hash`).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    slot_u = np.empty((2, capacity), dtype=np.int32)
+    slot_v = np.empty((2, capacity), dtype=np.int32)
+    n = lib.cuckoo_build(
+        _ptr(src, ctypes.c_int32),
+        _ptr(dst, ctypes.c_int32),
+        ctypes.c_int64(src.shape[0]),
+        ctypes.c_int64(capacity),
+        ctypes.c_uint32(mix_a1),
+        ctypes.c_uint32(mix_b1),
+        ctypes.c_uint32(mix_a2),
+        ctypes.c_uint32(mix_b2),
+        _ptr(slot_u, ctypes.c_int32),
+        _ptr(slot_v, ctypes.c_int32),
+    )
+    if n < 0:
+        return None
+    return slot_u, slot_v, int(n)
 
 
 def csc_max_degree(dst: np.ndarray, num_dst: int) -> Optional[int]:

@@ -61,9 +61,20 @@ class EdgeHashTable:
 
 
 def build_edge_hash(src, dst, min_capacity: int = 4) -> EdgeHashTable:
-    """Host-side vectorized cuckoo build (round-based insertion w/ eviction)."""
+    """Host-side cuckoo build.
+
+    Fast path: the C++ core (:mod:`gnn_recsys_tpu.native`) streams the RAW
+    pair list through sequential insert-with-eviction — duplicate pairs are
+    skipped for free (a stored pair always sits at one of its two home
+    slots), so no ``np.unique`` pre-pass is needed.  Fallback: vectorized
+    numpy round-based insertion.  Both produce tables the device-side
+    :func:`edge_hash_lookup` reads identically.
+    """
     src = np.asarray(src, dtype=np.int32)
     dst = np.asarray(dst, dtype=np.int32)
+    native_table = _build_edge_hash_native(src, dst, min_capacity)
+    if native_table is not None:
+        return native_table
     if src.size:
         pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
     else:
@@ -117,6 +128,44 @@ def build_edge_hash(src, dst, min_capacity: int = 4) -> EdgeHashTable:
             seed=seed,
         )
     raise RuntimeError("cuckoo edge hash build failed")
+
+
+def _build_edge_hash_native(
+    src: np.ndarray, dst: np.ndarray, min_capacity: int
+) -> "EdgeHashTable | None":
+    """C++ build; returns None when the native lib is unavailable."""
+    from gnn_recsys_tpu import native
+
+    if not native.native_available():
+        return None
+
+    def attempt(capacity: int):
+        for seed in range(4):
+            a1, b1 = _MIX_A[2 * seed % 8], _MIX_B[2 * seed % 8]
+            a2, b2 = _MIX_A[(2 * seed + 1) % 8], _MIX_B[(2 * seed + 1) % 8]
+            out = native.cuckoo_build(src, dst, capacity, a1, b1, a2, b2)
+            if out is not None:
+                return out[0], out[1], out[2], seed
+        return None
+
+    # The raw pair count bounds the distinct count, so this capacity always
+    # keeps per-table load <= ~1/3; shrink afterwards if duplicates made it
+    # oversized (matches the numpy builder's unique-count sizing).
+    capacity = max(_next_pow2(int(src.size * 1.5) + 1), min_capacity)
+    built = None
+    while built is None:
+        built = attempt(capacity)
+        if built is None:
+            capacity *= 2  # pathological hash collisions; grow like numpy
+    slot_u, slot_v, n_distinct, seed = built
+    tight = max(_next_pow2(int(n_distinct * 1.5) + 1), min_capacity)
+    if tight < capacity:
+        compact = attempt(tight)
+        if compact is not None:
+            slot_u, slot_v, _, seed = compact
+    return EdgeHashTable(
+        slot_u=jnp.asarray(slot_u), slot_v=jnp.asarray(slot_v), seed=seed
+    )
 
 
 def edge_hash_lookup(table: EdgeHashTable, u: jax.Array, v: jax.Array) -> jax.Array:
