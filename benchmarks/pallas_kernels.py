@@ -12,8 +12,11 @@ Usage: python benchmarks/pallas_kernels.py [--quick]
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +34,7 @@ def timeit(fn, *args, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters, out
 
 
-def bench_mips(num_users, num_items, d, k, quick=False):
+def bench_mips(num_users, num_items, d, k, quick=False, sweep=False):
     from gnn_recsys_tpu.models.layers import l2_normalize
     from gnn_recsys_tpu.ops.pallas.topk_mips import mips_topk
 
@@ -69,6 +72,28 @@ def bench_mips(num_users, num_items, d, k, quick=False):
     )
     assert verr < 1e-5, f"value mismatch {verr}"
     assert idx_match > 0.999, f"index mismatch {idx_match}"
+    if sweep:
+        for tu in (128, 256, 512, 1024):
+            if tu > num_users:
+                continue
+            line = f"  sweep tu={tu}:"
+            for ti in (512, 1024, 2048):
+                for bf16 in (False, True):
+                    try:
+                        t, _ = timeit(
+                            lambda u, i: mips_topk(
+                                u, i, k, tile_users=tu, tile_items=ti,
+                                bf16=bf16,
+                            ),
+                            ue, ie, iters=iters,
+                        )
+                        line += (
+                            f" ti={ti}{'/bf16' if bf16 else ''}"
+                            f" {t * 1e3:.2f}ms"
+                        )
+                    except Exception as e:
+                        line += f" ti={ti}{'/bf16' if bf16 else ''} FAIL"
+            print(line)
     return {"xla_ms": t_xla * 1e3, "pallas_ms": t_pl * 1e3,
             "pallas_bf16_ms": t_pl_bf16 * 1e3}
 
@@ -124,8 +149,8 @@ def main():
     # Serving shapes: catalog sizes spanning the synthetic bench (30k) up.
     bench_mips(1024, 30_000, 128, 10, quick=args.quick)
     if not args.quick:
-        bench_mips(4096, 100_000, 128, 10)
-        bench_mips(4096, 500_000, 128, 10)
+        bench_mips(4096, 100_000, 128, 10, sweep=True)
+        bench_mips(4096, 500_000, 128, 10, sweep=True)
 
     # Training shapes: level-1 frontier of a (8,4)-fanout tree at B=2048
     # positive edges is ~2048*2 dsts with fanout 8 -> B=4096, K=8; the

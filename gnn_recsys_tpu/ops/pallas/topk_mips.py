@@ -59,11 +59,19 @@ def _mips_kernel(u_ref, i_ref, vals_ref, idx_ref, acc_vals, acc_idx, *,
         acc_vals[:] = jnp.full_like(acc_vals, NEG_INF)
         acc_idx[:] = jnp.zeros_like(acc_idx)
 
+    # f32 inputs keep full precision (TPU default would truncate the MXU
+    # operands to bf16, visibly reordering near-tied catalog rankings —
+    # same rationale as retrieval.recs.cosine_score_fn); bf16 inputs are
+    # the caller's explicit half-traffic mode.
     scores = jax.lax.dot_general(
         u_ref[:],
         i_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=(
+            None if u_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        ),
     )  # [C, T]
     c = scores.shape[0]
     base = j * tile_items
