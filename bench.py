@@ -29,33 +29,48 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def ensure_responsive_device(probe_timeout_s: float = 90.0) -> bool:
+def ensure_responsive_device(
+    probe_timeout_s: float = 75.0, attempts: int = 3, retry_sleep_s: float = 45.0
+) -> bool:
     """Fall back to CPU if the accelerator hangs.
 
     The axon TPU tunnel can wedge (ops hang indefinitely rather than
     erroring), and a hung op poisons the whole process — so probe in a
-    SUBPROCESS.  On timeout, force the CPU platform in this process before
-    any jax op runs, so the benchmark still reports a line.
+    SUBPROCESS.  A recently-exited claimant also blocks new claims for
+    ~1-2 minutes (ops hang until the stale claim expires), so retry the
+    probe across that window before giving up.  On failure, force the CPU
+    platform in this process before any jax op runs, so the benchmark
+    still reports a line.
     """
     import subprocess
 
-    try:
-        proc = subprocess.run(
-            [
-                sys.executable,
-                "-c",
-                "import jax, jax.numpy as jnp;"
-                "jax.block_until_ready(jnp.ones((64,64)) @ jnp.ones((64,64)))",
-            ],
-            timeout=probe_timeout_s,
-            capture_output=True,
-        )
-        if proc.returncode == 0:
-            return True
-    except subprocess.TimeoutExpired:
-        pass
+    for attempt in range(attempts):
+        if attempt:
+            print(
+                f"device probe attempt {attempt} failed; retrying in "
+                f"{retry_sleep_s:.0f}s (stale-claim cooldown)",
+                file=sys.stderr,
+            )
+            time.sleep(retry_sleep_s)
+        try:
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    "-c",
+                    "import jax, jax.numpy as jnp;"
+                    "jax.block_until_ready("
+                    "jnp.ones((64,64)) @ jnp.ones((64,64)))",
+                ],
+                timeout=probe_timeout_s,
+                capture_output=True,
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
     print(
-        f"device probe hung/failed (> {probe_timeout_s}s); CPU fallback",
+        f"device probe hung/failed ({attempts}x {probe_timeout_s}s); "
+        "CPU fallback",
         file=sys.stderr,
     )
     jax.config.update("jax_platforms", "cpu")

@@ -242,17 +242,25 @@ class ConvModel(nn.Module):
         rng: jax.Array,
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
+        dedup: bool = True,
     ) -> Dict[str, jax.Array]:
-        """Minibatch representations via recursive sampled neighbor trees.
+        """Minibatch representations via sampled neighbor blocks/trees.
 
         The TPU-native replacement for DGL's block-based minibatch forward
         (reference ``get_repr`` over sampled blocks, src/model.py:415-421 +
         src/sampling.py:117-243): instead of compacting sampled subgraphs
-        into new node id spaces (dynamic shapes), each seed expands a
-        static-shape PinSAGE-style tree of global node ids — layer ``l``
-        gathers ``fanouts[l-1]`` neighbors per node, recursion depth equals
-        the number of conv layers, and all gathers read the device-resident
-        global graph/feature tables directly.
+        into new node id spaces (dynamic shapes), seeds expand static-shape
+        frontiers of global node ids — layer ``l`` gathers ``fanouts[l-1]``
+        neighbors per node, depth equals the number of conv layers, and all
+        gathers read the device-resident global graph/feature tables.
+
+        ``dedup=True`` (default) deduplicates each level's frontier into a
+        static-capacity unique table (``jnp.unique(size=...)`` with capacity
+        ``min(frontier, num_nodes)``) and computes every unique node's
+        representation once — the static-shape analog of DGL's compacted
+        message-flow graphs, where each node's neighborhood is also sampled
+        exactly once per layer.  ``dedup=False`` keeps the pure
+        PinSAGE-style tree (one independent sample per occurrence).
 
         seeds: ntype -> int32 ids of any shape.
         fanouts: one entry per conv layer, in execution order (first conv =
@@ -264,14 +272,35 @@ class ConvModel(nn.Module):
             etype reproduces ``exclude='reverse_types'``).
         Returns ntype -> [*seed_shape, out_dim].
         """
-        from gnn_recsys_tpu.ops.sampling import sample_neighbors
-
         n_layers = len(self.layers)
         if len(fanouts) != n_layers:
             raise ValueError(
                 f"fanouts has {len(fanouts)} entries, model has {n_layers} "
                 f"conv layers"
             )
+        if dedup:
+            return self._sampled_repr_dedup(
+                graph, features, seeds, fanouts, rng,
+                exclude_eids=exclude_eids, deterministic=deterministic,
+            )
+        return self._sampled_repr_tree(
+            graph, features, seeds, fanouts, rng,
+            exclude_eids=exclude_eids, deterministic=deterministic,
+        )
+
+    def _sampled_repr_tree(
+        self,
+        graph: HeteroGraph,
+        features: Dict[str, jax.Array],
+        seeds: Dict[str, jax.Array],
+        fanouts: Tuple[int, ...],
+        rng: jax.Array,
+        exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        from gnn_recsys_tpu.ops.sampling import sample_neighbors
+
+        n_layers = len(self.layers)
 
         def base_h(ntype: str, ids: jax.Array) -> jax.Array:
             x = jnp.take(features[ntype], ids.reshape(-1), axis=0)
@@ -358,6 +387,187 @@ class ConvModel(nn.Module):
             out[ntype] = h_level(n_layers, ntype, ids, keys[i])
         return out
 
+    def _sampled_repr_dedup(
+        self,
+        graph: HeteroGraph,
+        features: Dict[str, jax.Array],
+        seeds: Dict[str, jax.Array],
+        fanouts: Tuple[int, ...],
+        rng: jax.Array,
+        exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Unique-frontier (DGL-block-style) sampled forward.
+
+        Two passes, all shapes static:
+          1. top-down: per level, dedup the frontier into a capacity-bounded
+             unique id table, sample each unique node's neighbors ONCE, and
+             record positions of self/neighbor ids in the next level's
+             unique table;
+          2. bottom-up: compute each level's representations over unique
+             nodes only, applying the per-etype source transform (`mean_nn`/
+             `pool_nn` pre-MLP) to the unique source TABLE before the
+             gather — per-node ops commute with the gather, so this is
+             exact and cuts the pre-MLP cost by the duplication factor.
+
+        Padding slots of the unique tables hold node id 0 (``fill_value``);
+        they compute garbage rows that nothing references.
+        """
+        from gnn_recsys_tpu.ops.sampling import sample_neighbors
+
+        n_layers = len(self.layers)
+
+        def cap_for(ntype: str, n: int) -> int:
+            cap = min(n, graph.num_nodes(ntype))
+            return max(8, -(-cap // 8) * 8)  # round up for TPU tiling
+
+        def uniqify(frontier: Dict[str, list]):
+            """Concat segments per ntype, unique with static capacity.
+
+            Returns (uniq ids per ntype, inverse positions per ntype as one
+            flat array aligned with the concatenated segments).
+            """
+            uniq, inv = {}, {}
+            for nt, segs in frontier.items():
+                flat = jnp.concatenate(segs)
+                u, iv = jnp.unique(
+                    flat, return_inverse=True,
+                    size=cap_for(nt, flat.shape[0]), fill_value=0,
+                )
+                uniq[nt] = u
+                inv[nt] = iv.reshape(-1).astype(jnp.int32)
+            return uniq, inv
+
+        seed_shapes = {nt: ids.shape for nt, ids in seeds.items()}
+        top_frontier = {
+            nt: [ids.reshape(-1).astype(jnp.int32)]
+            for nt, ids in seeds.items()
+        }
+        levels = [None] * (n_layers + 1)
+        top_uniq, top_inv = uniqify(top_frontier)
+        levels[n_layers] = top_uniq
+
+        key = rng
+        plans = [None] * n_layers
+        for lvl in range(n_layers, 0, -1):
+            fanout = fanouts[lvl - 1]
+            layer_dict = self.layers[lvl - 1]
+            lower: Dict[str, list] = {}
+            offsets: Dict[str, int] = {}
+
+            def push(nt: str, arr: jax.Array):
+                off = offsets.get(nt, 0)
+                lower.setdefault(nt, []).append(arr.reshape(-1))
+                offsets[nt] = off + arr.size
+                return off, arr.size
+
+            plan = {}
+            for nt, uids in levels[lvl].items():
+                in_etypes = [
+                    et
+                    for et in graph.canonical_etypes
+                    if et[2] == nt and _etype_key(et) in layer_dict
+                ]
+                if not in_etypes:
+                    raise ValueError(
+                        f"node type {nt} has no incoming etypes"
+                    )
+                entry = {"self_ref": (nt,) + push(nt, uids), "etypes": {}}
+                for et in in_etypes:
+                    key, sk = jax.random.split(key)
+                    excl = None
+                    if exclude_eids is not None and et in exclude_eids:
+                        excl = exclude_eids[et]
+                    nbr, eid, mask = sample_neighbors(
+                        graph.rels[et],
+                        uids,
+                        fanout=max(fanout, 1),
+                        rng=sk,
+                        mode="full" if fanout == -1 else "uniform",
+                        exclude_sorted_eids=excl,
+                    )
+                    entry["etypes"][et] = {
+                        "ref": (et[0],) + push(et[0], nbr),
+                        "shape": nbr.shape,
+                        "mask": mask,
+                        "eid": eid,
+                    }
+                plan[nt] = entry
+            lower_uniq, lower_inv = uniqify(lower)
+            for entry in plan.values():
+                nt0, off, ln = entry["self_ref"]
+                entry["self_pos"] = lower_inv[nt0][off:off + ln]
+                for ed in entry["etypes"].values():
+                    nt0, off, ln = ed["ref"]
+                    ed["nbr_pos"] = lower_inv[nt0][off:off + ln].reshape(
+                        ed["shape"]
+                    )
+            levels[lvl - 1] = lower_uniq
+            plans[lvl - 1] = plan
+
+        # Bottom-up compute over unique tables.
+        h = {}
+        for nt, ids in levels[0].items():
+            x = jnp.take(features[nt], ids, axis=0)
+            if self.embedding_layer and nt in self.embed:
+                x = self.embed[nt](x)
+            h[nt] = x
+        for lvl in range(1, n_layers + 1):
+            layer_dict = self.layers[lvl - 1]
+            h_next = {}
+            for nt, entry in plans[lvl - 1].items():
+                h_self = jnp.take(h[nt], entry["self_pos"], axis=0)
+                zs = []
+                for et, ed in entry["etypes"].items():
+                    layer = layer_dict[_etype_key(et)]
+                    src_table = layer.transform_src(
+                        h[et[0]], deterministic=deterministic
+                    )
+                    nbr_pos = ed["nbr_pos"]
+                    msgs = jnp.take(
+                        src_table, nbr_pos.reshape(-1), axis=0
+                    ).reshape(*nbr_pos.shape, src_table.shape[-1])
+                    mask = ed["mask"]
+                    rel = graph.rels[et]
+                    if (
+                        layer.edge_weighted
+                        and et[0] in ("user", "item")
+                        and et[2] in ("user", "item")
+                        and "occurrence" in rel.edata
+                    ):
+                        w = jnp.take(
+                            rel.edata["occurrence"].astype(msgs.dtype),
+                            ed["eid"], axis=0,
+                        )
+                        msgs = msgs * w[..., None]
+                    reducer = layer.reducer
+                    if reducer == "mean":
+                        m = mask[..., None].astype(msgs.dtype)
+                        total = jnp.sum(msgs * m, axis=-2)
+                        count = jnp.sum(mask.astype(msgs.dtype), axis=-1)
+                        agg = total / jnp.maximum(count, 1.0)[..., None]
+                    elif reducer == "max":
+                        neg = jnp.asarray(-jnp.inf, dtype=msgs.dtype)
+                        agg = jnp.max(
+                            jnp.where(mask[..., None], msgs, neg), axis=-2
+                        )
+                        agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
+                    else:  # lstm
+                        agg = layer.lstm_reduce(
+                            jnp.where(mask[..., None], msgs, 0.0), mask
+                        )
+                    zs.append(
+                        layer.combine(h_self, agg, deterministic=deterministic)
+                    )
+                h_next[nt] = self._cross_etype_reduce(jnp.stack(zs, axis=0))
+            h = h_next
+        return {
+            nt: jnp.take(h[nt], top_inv[nt], axis=0).reshape(
+                *seed_shapes[nt], h[nt].shape[-1]
+            )
+            for nt in seeds
+        }
+
     # ------------------------------------------------------------------
     # Scoring
     # ------------------------------------------------------------------
@@ -391,6 +601,7 @@ class ConvModel(nn.Module):
         rng: jax.Array,
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
+        dedup: bool = True,
     ):
         """Sampled-tree forward + scoring for one minibatch.
 
@@ -415,6 +626,7 @@ class ConvModel(nn.Module):
             rng,
             exclude_eids=exclude_eids,
             deterministic=deterministic,
+            dedup=dedup,
         )
         # All shapes are static, so plain slicing compiles cleanly.
         pos_scores, neg_scores, neg_dsts = {}, {}, {}

@@ -14,6 +14,18 @@ in VMEM — messages never hit HBM, traffic is ``O(B*K*D)`` reads +
 
 Neighbor indices arrive via scalar prefetch so DMA addresses are known
 before the kernel body runs.
+
+TPU-compile status (measured on v5e, 2026-08): Mosaic rejects single-row
+HBM slices — "Slice shape along dimension 0 must be aligned to tiling
+(8)" — because f32 HBM memrefs are (8, 128)-tiled, so the minimum
+DMA-able unit along the row axis is 8 rows.  Fetching the aligned 8-row
+window per neighbor and selecting in VMEM would over-read 8x, which loses
+to XLA's fused gather (~440 GB/s effective on this op).  The kernel
+therefore remains correct under ``interpret=True`` (CI-tested) and is NOT
+used on the hot path; the production aggregation path is the XLA
+take+reduce in :mod:`gnn_recsys_tpu.ops.message` and the dedup'd block
+forward in :meth:`ConvModel.sampled_repr`, which cuts gather volume at
+the algorithm level instead.
 """
 
 from __future__ import annotations

@@ -86,6 +86,7 @@ class MinibatchConfig:
     remove_false_negative: bool = True
     use_recency: bool = False
     exclude_batch_edges: bool = True
+    dedup: bool = True  # unique-frontier blocks (DGL semantics) vs pure tree
     k: int = 10
     metrics_every: int = 10  # reference: epoch % 10 == 1
     patience: int = 3
@@ -216,6 +217,7 @@ def make_minibatch_step(
                 r_tree,
                 exclude_eids=exclude,
                 deterministic=deterministic,
+                dedup=cfg.dedup,
                 method="minibatch_forward",
                 rngs={} if deterministic else {"dropout": r_drop},
             )

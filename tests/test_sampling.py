@@ -125,6 +125,81 @@ def test_sampled_full_fanout_matches_full_graph(data, agg, hetero):
         )
 
 
+def test_sampled_tree_nodedup_matches_full_graph(data):
+    """The pure-tree path (dedup=False) passes the same parity gate."""
+    g = data.graph
+    model = _model_for(g)
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    pairs = {ET_BUYS: (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))}
+    params = model.init(jax.random.PRNGKey(0), g, feats, pairs, pairs)
+
+    def full(mdl):
+        h = mdl.embed_features(feats)
+        return mdl.get_repr(g, h, deterministic=True)
+
+    h_full = model.apply(params, method=full)
+    seeds = {"user": jnp.arange(g.num_nodes("user"), dtype=jnp.int32)}
+
+    def sampled(mdl):
+        return mdl.sampled_repr(
+            g, feats, seeds, (-1, -1), jax.random.PRNGKey(1),
+            deterministic=True, dedup=False,
+        )
+
+    h_samp = model.apply(params, method=sampled)
+    np.testing.assert_allclose(
+        np.asarray(h_samp["user"]), np.asarray(h_full["user"]),
+        rtol=2e-4, atol=2e-5,
+    )
+
+
+def test_dedup_duplicate_seeds_identical_rows(data):
+    """Dedup'd forward computes each unique node once: duplicated seed ids
+    must yield BIT-identical output rows (the tree path samples each
+    occurrence independently)."""
+    g = data.graph
+    model = _model_for(g)
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    pairs = {ET_BUYS: (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))}
+    params = model.init(jax.random.PRNGKey(0), g, feats, pairs, pairs)
+    seeds = {"user": jnp.asarray([5, 9, 5, 5, 9], jnp.int32)}
+
+    def sampled(mdl):
+        return mdl.sampled_repr(g, feats, seeds, (3, 3),
+                                jax.random.PRNGKey(7), deterministic=True)
+
+    h = np.asarray(model.apply(params, method=sampled)["user"])
+    np.testing.assert_array_equal(h[0], h[2])
+    np.testing.assert_array_equal(h[0], h[3])
+    np.testing.assert_array_equal(h[1], h[4])
+    assert not np.array_equal(h[0], h[1])
+
+
+def test_dedup_matches_tree_at_full_fanout(data):
+    """With fanout=-1 both paths aggregate the same full neighbor rows."""
+    g = data.graph
+    model = _model_for(g, agg="mean_nn", hetero="sum")
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    pairs = {ET_BUYS: (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))}
+    params = model.init(jax.random.PRNGKey(0), g, feats, pairs, pairs)
+    seeds = {
+        "user": jnp.asarray([0, 1, 2, 2], jnp.int32),
+        "item": jnp.asarray([3, 3, 4], jnp.int32),
+    }
+
+    def run(mdl, dedup):
+        return mdl.sampled_repr(g, feats, seeds, (-1, -1),
+                                jax.random.PRNGKey(1), deterministic=True,
+                                dedup=dedup)
+
+    h_d = model.apply(params, True, method=run)
+    h_t = model.apply(params, False, method=run)
+    for nt in seeds:
+        np.testing.assert_allclose(
+            np.asarray(h_d[nt]), np.asarray(h_t[nt]), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_sampled_uniform_fanout_runs_and_is_seeded(data):
     g = data.graph
     model = _model_for(g)
