@@ -418,10 +418,14 @@ def train_minibatch(
             state, loss = step(
                 state, train_graph, features, batch, edge_tables, sub
             )
-            losses.append(float(loss))
+            # Keep per-batch losses ON DEVICE: a D2H scalar pull per batch
+            # costs a host sync (and is pathologically slow on tunneled
+            # transports); one stacked pull per epoch is equivalent.
+            losses.append(loss)
             epoch_edges += sum(len(v) for v in batch_np.values())
-        history["train_loss"].append(float(np.mean(losses)))
+        jax.block_until_ready(losses[-1])
         history["edges_per_s"].append(meter.stop(epoch_edges))
+        history["train_loss"].append(float(jnp.mean(jnp.stack(losses))))
 
         val_loss = None
         if valid_eids:
@@ -439,8 +443,8 @@ def train_minibatch(
                 _, loss = valid_step(
                     state, train_graph, features, batch, edge_tables, sub
                 )
-                vlosses.append(float(loss))
-            val_loss = float(np.mean(vlosses))
+                vlosses.append(loss)  # device scalar; pulled once below
+            val_loss = float(jnp.mean(jnp.stack(vlosses)))
             history["valid_loss"].append(val_loss)
 
         history["epoch_time"].append(time.perf_counter() - t0)
