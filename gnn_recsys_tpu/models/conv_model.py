@@ -242,7 +242,7 @@ class ConvModel(nn.Module):
         rng: jax.Array,
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
-        dedup: bool = True,
+        dedup: bool = False,
     ) -> Dict[str, jax.Array]:
         """Minibatch representations via sampled neighbor blocks/trees.
 
@@ -254,13 +254,16 @@ class ConvModel(nn.Module):
         neighbors per node, depth equals the number of conv layers, and all
         gathers read the device-resident global graph/feature tables.
 
-        ``dedup=True`` (default) deduplicates each level's frontier into a
+        ``dedup=True`` deduplicates each level's frontier into a
         static-capacity unique table (``jnp.unique(size=...)`` with capacity
         ``min(frontier, num_nodes)``) and computes every unique node's
         representation once — the static-shape analog of DGL's compacted
         message-flow graphs, where each node's neighborhood is also sampled
-        exactly once per layer.  ``dedup=False`` keeps the pure
-        PinSAGE-style tree (one independent sample per occurrence).
+        exactly once per layer.  ``dedup=False`` (default) keeps the pure
+        PinSAGE-style tree (one independent sample per occurrence) — faster
+        on TPU at training shapes, where the MXU absorbs the duplicate
+        FLOPs more cheaply than the frontier sort/unique (measured 0.88 vs
+        1.29 ms/step on v5e at B=2048, fanouts (8,4), hidden 256 bf16).
 
         seeds: ntype -> int32 ids of any shape.
         fanouts: one entry per conv layer, in execution order (first conv =
@@ -601,7 +604,7 @@ class ConvModel(nn.Module):
         rng: jax.Array,
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
-        dedup: bool = True,
+        dedup: bool = False,
     ):
         """Sampled-tree forward + scoring for one minibatch.
 

@@ -166,7 +166,8 @@ def test_dedup_duplicate_seeds_identical_rows(data):
 
     def sampled(mdl):
         return mdl.sampled_repr(g, feats, seeds, (3, 3),
-                                jax.random.PRNGKey(7), deterministic=True)
+                                jax.random.PRNGKey(7), deterministic=True,
+                                dedup=True)
 
     h = np.asarray(model.apply(params, method=sampled)["user"])
     np.testing.assert_array_equal(h[0], h[2])
