@@ -1,0 +1,154 @@
+"""Quality run: recall@10 convergence at reference-default hyperparameters.
+
+Trains the Medium model (hidden 256 / out 128, 3 layers, mean_nn, cosine —
+reference defaults, ``/root/reference/main.py:86-89,510-511``) on a
+clustered synthetic click+purchase graph with the minibatch regime
+(edge batches, shared-pool negatives, false-negative masking, batch-edge
+exclusion) and records the loss + recall@10/precision/coverage convergence
+curve.  Artifacts: ``outputs/quality_history.json`` and
+``plots/quality_run.png``.
+
+Usage: python benchmarks/quality_run.py [--epochs 16] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=16)
+    ap.add_argument("--users", type=int, default=50_000)
+    ap.add_argument("--items", type=int, default=15_000)
+    ap.add_argument("--edge-batch", type=int, default=8192)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gnn_recsys_tpu.models.conv_model import ConvModel
+    from gnn_recsys_tpu.train.minibatch import (
+        MinibatchConfig,
+        train_minibatch,
+    )
+    from gnn_recsys_tpu.utils.synthetic import make_synthetic_data
+
+    t0 = time.perf_counter()
+    data = make_synthetic_data(
+        num_users=args.users,
+        num_items=args.items,
+        num_groups=64,
+        interactions_per_user=10,
+        test_per_user=2,
+        feat_dim=8,
+        with_clicks=True,
+        seed=0,
+        max_fanout=32,
+    )
+    g = data.train_graph
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    model = ConvModel(
+        canonical_etypes=g.canonical_etypes,
+        dims=(("user", 8), ("item", 8), ("hidden", 256), ("out", 128)),
+        n_layers=3,
+        aggregator_type="mean_nn",
+        pred="cos",
+        aggregator_hetero="sum",
+        dtype=jnp.bfloat16,
+    )
+    train_etypes = tuple(data.train_pairs.keys())
+    train_eids = {et: np.arange(g.num_edges(et)) for et in train_etypes}
+    host_edges = {
+        et: (u, i, np.ones_like(u, dtype=np.float32))
+        for et, (u, i) in data.train_pairs.items()
+    }
+    cfg = MinibatchConfig(
+        edge_batch_size=args.edge_batch,
+        fanouts=(8, 4),
+        neg_sample_size=2500,  # reference default (main.py:511)
+        neg_mode="shared_pool",
+        neg_pool_size=4096,
+        delta=0.266,  # reference default (main.py:510)
+        lr=5e-4,
+        num_epochs=args.epochs,
+        metrics_every=3,
+        patience=args.epochs,  # no early stop; we want the full curve
+        k=10,
+    )
+    print(f"data+model build: {time.perf_counter() - t0:.1f}s "
+          f"devices={jax.devices()}", file=sys.stderr)
+    bu, bi = data.train_pairs[("user", "buys", "item")]
+    t0 = time.perf_counter()
+    state, history = train_minibatch(
+        model, g, data.graph, feats, train_eids, None, cfg,
+        test_ground_truth=data.test_ground_truth,
+        already_bought=(bu, bi),
+        verbose=True,
+        host_edges=host_edges,
+    )
+    wall = time.perf_counter() - t0
+    print(f"train wall: {wall:.1f}s", file=sys.stderr)
+
+    os.makedirs(os.path.join(REPO, "outputs"), exist_ok=True)
+    hist_path = os.path.join(REPO, "outputs", "quality_history.json")
+    meta = {
+        "users": args.users,
+        "items": args.items,
+        "epochs": args.epochs,
+        "edge_batch": args.edge_batch,
+        "device": str(jax.devices()[0]),
+        "train_wall_s": round(wall, 1),
+        "mean_edges_per_s": round(
+            float(np.mean(history["edges_per_s"][1:]))
+            if len(history["edges_per_s"]) > 1 else 0.0, 1
+        ),
+    }
+    with open(hist_path, "w") as f:
+        json.dump({"meta": meta, "history": history}, f, indent=1)
+    print(f"history -> {hist_path}", file=sys.stderr)
+
+    try:
+        from gnn_recsys_tpu.utils.viz import plot_train_loss
+
+        viz = {
+            "train_loss_list": history["train_loss"],
+            "train_recall_list": history["recall"],
+            "train_precision_list": history["precision"],
+            "train_coverage_list": history["coverage"],
+        }
+        written = plot_train_loss(
+            f"quality_run U={args.users} I={args.items} "
+            f"B={args.edge_batch} mean_nn/cos Medium",
+            viz,
+            out_dir=os.path.join(REPO, "plots"),
+            stem="quality_run",
+        )
+        print(f"plots -> {written}", file=sys.stderr)
+    except Exception as e:  # viz signature drift or headless issues
+        print(f"plot skipped: {e}", file=sys.stderr)
+
+    final_recall = history["recall"][-1] if history["recall"] else float("nan")
+    print(json.dumps({
+        "metric": "quality_recall_at_10",
+        "value": round(float(final_recall), 4),
+        "loss_first": round(history["train_loss"][0], 4),
+        "loss_last": round(history["train_loss"][-1], 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
