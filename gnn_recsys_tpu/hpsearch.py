@@ -7,11 +7,12 @@ Covers the reference's skopt-based hyperparametrization
 ``checkpoint<date>.pkl`` with resume-from-latest (main.py:561-606,
 src/utils.py:25-32), and ``random_state=46`` determinism.
 
-Optimizer: scikit-optimize is not available in this environment, so the
-driver uses defaults-first + uniform random exploration + local
-perturbation of the incumbent (a surrogate-free optimizer in the same
-spirit as GP-EI's explore/exploit).  If ``skopt`` is importable it is used
-instead (``use_skopt=True``).
+Optimizer: a pure-numpy GP-EI surrogate loop (:mod:`gnn_recsys_tpu.gp_opt`
+— Matern-5/2 GP, one-hot categorical encoding, EI acquisition), the same
+algorithm as the reference's ``gp_minimize(acq_func='EI')``.
+``optimizer='random'`` falls back to defaults-first + uniform exploration +
+incumbent perturbation; if ``skopt`` is importable it can be used instead
+(``use_skopt=True``).
 """
 
 from __future__ import annotations
@@ -113,14 +114,19 @@ def run_search(
     seed: int = 46,
     exploit_prob: float = 0.3,
     use_skopt: bool = False,
+    optimizer: str = "gp",
     verbose: bool = False,
 ) -> SearchState:
     """Minimize ``-recall``: ``fitness`` returns the recall of one trial
     (the reference's ``fitness`` returns ``-recall`` to gp_minimize,
     main.py:513-527 — here fitness returns recall and the driver negates).
 
+    optimizer: ``'gp'`` (GP-EI surrogate, the reference's algorithm) or
+    ``'random'`` (surrogate-free explore/exploit).
+
     Resumes from the latest ``checkpoint*.pkl`` in ``logdir`` unless
-    ``from_beginning`` (reference main.py:587-606).
+    ``from_beginning`` (reference main.py:587-606); on resume the GP is
+    re-seeded with every completed trial.
     """
     if use_skopt:
         try:
@@ -136,15 +142,30 @@ def run_search(
                 state = pickle.load(f)
 
     rng = np.random.default_rng(seed + len(state.trials))
+    gp = None
+    if optimizer == "gp":
+        from gnn_recsys_tpu.gp_opt import GPOptimizer, Space
+
+        gp = GPOptimizer(
+            Space(SEARCH_SPACE),
+            x0=[dataclasses.asdict(HyperParams())],  # defaults-first
+            seed=seed,
+        )
+        for t in state.trials:  # replay history into the surrogate
+            gp.tell(dataclasses.asdict(t.hyper), t.objective)
     os.makedirs(logdir, exist_ok=True)
     while len(state.trials) < n_calls:
-        if not state.trials:
+        if gp is not None:
+            hyper = HyperParams(**gp.ask())
+        elif not state.trials:
             hyper = HyperParams()  # defaults-first (skopt x0)
         elif state.best is not None and rng.random() < exploit_prob:
             hyper = perturb_hyperparams(state.best.hyper, rng)
         else:
             hyper = sample_hyperparams(rng)
         recall = fitness(hyper)
+        if gp is not None:
+            gp.tell(dataclasses.asdict(hyper), -float(recall))
         state.trials.append(Trial(hyper=hyper, objective=-float(recall)))
         with open(os.path.join(logdir, _checkpoint_name()), "wb") as f:
             pickle.dump(state, f)

@@ -20,7 +20,9 @@ HBM slices — "Slice shape along dimension 0 must be aligned to tiling
 (8)" — because f32 HBM memrefs are (8, 128)-tiled, so the minimum
 DMA-able unit along the row axis is 8 rows.  Fetching the aligned 8-row
 window per neighbor and selecting in VMEM would over-read 8x, which loses
-to XLA's fused gather (~440 GB/s effective on this op).  The kernel
+to XLA's fused gather (measured ~770 GB/s effective on this op at
+B=4096 K=8 D=256 from a 100k-row table on v5e — near HBM
+speed-of-light, so there is nothing left for a kernel to win).  The kernel
 therefore remains correct under ``interpret=True`` (CI-tested) and is NOT
 used on the hot path; the production aggregation path is the XLA
 take+reduce in :mod:`gnn_recsys_tpu.ops.message` and the dedup'd block
