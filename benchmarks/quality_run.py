@@ -29,6 +29,18 @@ def main():
     ap.add_argument("--epochs", type=int, default=16)
     ap.add_argument("--users", type=int, default=50_000)
     ap.add_argument("--items", type=int, default=15_000)
+    ap.add_argument("--groups", type=int, default=64)
+    # feat_dim defaults to --groups: the synthetic generator's features are
+    # noisy one-hots of ``group % feat_dim``, so feat_dim < groups folds
+    # several groups into one feature bucket.  A purely inductive
+    # feature-based GraphSAGE (the reference's model class — no node-id
+    # embeddings, src/model.py:330-470) cannot distinguish items within a
+    # bucket: every hop propagates functions of the initial features, so
+    # same-bucket items are statistically exchangeable and the recall
+    # CEILING is ~k/bucket_size, not k/group_size.  (Measured: with 64
+    # groups folded into 8 dims the run plateaus at 0.46% ≈ the 0.48%
+    # bucket ceiling.)  feat_dim == groups makes the exact group learnable.
+    ap.add_argument("--feat-dim", type=int, default=None)
     ap.add_argument("--edge-batch", type=int, default=8192)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -51,19 +63,20 @@ def main():
     data = make_synthetic_data(
         num_users=args.users,
         num_items=args.items,
-        num_groups=64,
+        num_groups=args.groups,
         interactions_per_user=10,
         test_per_user=2,
-        feat_dim=8,
+        feat_dim=args.feat_dim or args.groups,
         with_clicks=True,
         seed=0,
         max_fanout=32,
     )
     g = data.train_graph
     feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    fdim = int(feats["user"].shape[1])
     model = ConvModel(
         canonical_etypes=g.canonical_etypes,
-        dims=(("user", 8), ("item", 8), ("hidden", 256), ("out", 128)),
+        dims=(("user", fdim), ("item", fdim), ("hidden", 256), ("out", 128)),
         n_layers=3,
         aggregator_type="mean_nn",
         pred="cos",
@@ -92,6 +105,29 @@ def main():
     print(f"data+model build: {time.perf_counter() - t0:.1f}s "
           f"devices={jax.devices()}", file=sys.stderr)
     bu, bi = data.train_pairs[("user", "buys", "item")]
+
+    # Calibration baselines (host numpy; the SURVEY §4 test strategy — the
+    # model must clearly beat popularity): random = k/items; popularity =
+    # one global top-k list for every user; group-oracle = the ceiling for
+    # this model class (knows each user's true group, ranks randomly within
+    # it — no finer-than-group signal exists in the generator).
+    gtu, gti = data.test_ground_truth
+    n_gt = len(gti)
+    pop = np.bincount(bi, minlength=args.items)
+    top_pop = set(np.argsort(-pop)[: cfg.k].tolist())
+    recall_pop = sum(1 for it in gti if int(it) in top_pop) / n_gt
+    user_group, item_group = data.user_group, data.item_group
+    group_size = np.maximum(np.bincount(item_group, minlength=args.groups), 1)
+    same = user_group[gtu] == item_group[gti]
+    recall_oracle = float(
+        np.mean(np.where(same, np.minimum(cfg.k / group_size[item_group[gti]], 1.0), 0.0))
+    )
+    baselines = {
+        "recall_random": round(cfg.k / args.items, 5),
+        "recall_popularity": round(recall_pop, 5),
+        "recall_group_oracle": round(recall_oracle, 5),
+    }
+    print(f"baselines: {baselines}", file=sys.stderr)
     t0 = time.perf_counter()
     state, history = train_minibatch(
         model, g, data.graph, feats, train_eids, None, cfg,
@@ -116,6 +152,7 @@ def main():
             float(np.mean(history["edges_per_s"][1:]))
             if len(history["edges_per_s"]) > 1 else 0.0, 1
         ),
+        "baselines": baselines,
     }
     with open(hist_path, "w") as f:
         json.dump({"meta": meta, "history": history}, f, indent=1)
@@ -147,6 +184,7 @@ def main():
         "value": round(float(final_recall), 4),
         "loss_first": round(history["train_loss"][0], 4),
         "loss_last": round(history["train_loss"][-1], 4),
+        **baselines,
     }))
 
 

@@ -104,6 +104,10 @@ class FixedParams:
     patience: int = 3
     pred: str = "cos"
     report_model_coverage: bool = False
+    # TPU-specific (no reference counterpart): rematerialize sampled-tree
+    # levels on backward — trade ~1 extra forward for activation memory on
+    # deep (n_layers 4-5) / wide-fanout models.
+    remat_levels: bool = False
 
     @property
     def train_etypes(self) -> Tuple[Tuple[str, str, str], ...]:

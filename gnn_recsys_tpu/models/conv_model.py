@@ -69,6 +69,12 @@ class ConvModel(nn.Module):
     # message passing on the MXU in bf16 (params stay f32, scores cast back
     # to f32 before the loss).
     dtype: Optional[jnp.dtype] = None
+    # Rematerialize each sampled-tree level on the backward pass
+    # (jax.checkpoint per recursion level): activation memory drops from the
+    # whole tree (sum of every level's frontier x width) to roughly the
+    # largest single level, at ~one extra forward of compute — the TPU
+    # HBM-for-FLOPs trade for deep models (n_layers 4-5) or wide fanouts.
+    remat_levels: bool = False
 
     @property
     def dim_dict(self) -> Dict[str, int]:
@@ -301,94 +307,137 @@ class ConvModel(nn.Module):
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
     ) -> Dict[str, jax.Array]:
+        n_layers = len(self.layers)
+        out = {}
+        keys = jax.random.split(rng, max(len(seeds), 1))
+        for i, (ntype, ids) in enumerate(seeds.items()):
+            out[ntype] = self._tree_dispatch(
+                graph, features, exclude_eids, tuple(fanouts), deterministic,
+                n_layers, ntype, ids, keys[i],
+            )
+        return out
+
+    def _tree_dispatch(
+        self,
+        graph: HeteroGraph,
+        features: Dict[str, jax.Array],
+        exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]],
+        fanouts: Tuple[int, ...],
+        deterministic: bool,
+        level: int,
+        ntype: str,
+        ids: jax.Array,
+        key: jax.Array,
+    ) -> jax.Array:
+        """Route one tree level through nn.remat when ``remat_levels``.
+
+        Nested per-level checkpointing: the backward pass recomputes each
+        level from its (tiny) id frontier instead of storing the gathered
+        activations.  Skipped during init (remat would interfere with
+        parameter creation) and at level 0 (a pure gather, nothing to save).
+        The forward values are bit-identical either way.
+        """
+        if self.remat_levels and level > 0 and not self.is_initializing():
+            fn = nn.remat(ConvModel._tree_level, static_argnums=(4, 5, 6, 7))
+            return fn(self, graph, features, exclude_eids, fanouts,
+                      deterministic, level, ntype, ids, key)
+        return self._tree_level(graph, features, exclude_eids, fanouts,
+                                deterministic, level, ntype, ids, key)
+
+    def _tree_level(
+        self,
+        graph: HeteroGraph,
+        features: Dict[str, jax.Array],
+        exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]],
+        fanouts: Tuple[int, ...],
+        deterministic: bool,
+        level: int,
+        ntype: str,
+        ids: jax.Array,
+        key: jax.Array,
+    ) -> jax.Array:
         from gnn_recsys_tpu.ops.sampling import sample_neighbors
 
-        n_layers = len(self.layers)
-
-        def base_h(ntype: str, ids: jax.Array) -> jax.Array:
+        if level == 0:
             x = jnp.take(features[ntype], ids.reshape(-1), axis=0)
             x = x.reshape(*ids.shape, x.shape[-1])
             if self.embedding_layer and ntype in self.embed:
                 x = self.embed[ntype](x)
             return x
+        layer_dict = self.layers[level - 1]
+        fanout = fanouts[level - 1]
+        in_etypes = [
+            et
+            for et in graph.canonical_etypes
+            if et[2] == ntype and _etype_key(et) in layer_dict
+        ]
+        keys = jax.random.split(key, 2 * len(in_etypes) + 1)
+        h_self = self._tree_dispatch(
+            graph, features, exclude_eids, fanouts, deterministic,
+            level - 1, ntype, ids, keys[-1],
+        )
+        zs = []
+        for j, etype in enumerate(in_etypes):
+            layer = layer_dict[_etype_key(etype)]
+            rel = graph.rels[etype]
+            excl = None
+            if exclude_eids is not None and etype in exclude_eids:
+                excl = exclude_eids[etype]
+            nbr, eid, mask = sample_neighbors(
+                rel,
+                ids,
+                fanout=max(fanout, 1),
+                rng=keys[2 * j],
+                mode="full" if fanout == -1 else "uniform",
+                exclude_sorted_eids=excl,
+            )
+            h_nbr = self._tree_dispatch(
+                graph, features, exclude_eids, fanouts, deterministic,
+                level - 1, etype[0], nbr, keys[2 * j + 1],
+            )
+            h_nbr = layer.transform_src(h_nbr, deterministic=deterministic)
 
-        def h_level(level: int, ntype: str, ids: jax.Array, key: jax.Array):
-            if level == 0:
-                return base_h(ntype, ids)
-            layer_dict = self.layers[level - 1]
-            fanout = fanouts[level - 1]
-            in_etypes = [
-                et
-                for et in graph.canonical_etypes
-                if et[2] == ntype and _etype_key(et) in layer_dict
-            ]
-            keys = jax.random.split(key, 2 * len(in_etypes) + 1)
-            h_self = h_level(level - 1, ntype, ids, keys[-1])
-            zs = []
-            for j, etype in enumerate(in_etypes):
-                layer = layer_dict[_etype_key(etype)]
-                rel = graph.rels[etype]
-                excl = None
-                if exclude_eids is not None and etype in exclude_eids:
-                    excl = exclude_eids[etype]
-                nbr, eid, mask = sample_neighbors(
-                    rel,
-                    ids,
-                    fanout=max(fanout, 1),
-                    rng=keys[2 * j],
-                    mode="full" if fanout == -1 else "uniform",
-                    exclude_sorted_eids=excl,
+            edge_weight = None
+            if (
+                layer.edge_weighted
+                and etype[0] in ("user", "item")
+                and etype[2] in ("user", "item")
+                and "occurrence" in rel.edata
+            ):
+                w = jnp.take(
+                    rel.edata["occurrence"].astype(h_nbr.dtype), eid, axis=0
                 )
-                h_nbr = h_level(level - 1, etype[0], nbr, keys[2 * j + 1])
-                h_nbr = layer.transform_src(h_nbr, deterministic=deterministic)
+                edge_weight = w
 
-                edge_weight = None
-                if (
-                    layer.edge_weighted
-                    and etype[0] in ("user", "item")
-                    and etype[2] in ("user", "item")
-                    and "occurrence" in rel.edata
-                ):
-                    w = jnp.take(
-                        rel.edata["occurrence"].astype(h_nbr.dtype), eid, axis=0
-                    )
-                    edge_weight = w
-
-                msgs = h_nbr
-                if edge_weight is not None:
-                    msgs = msgs * edge_weight[..., None]
-                reducer = layer.reducer
-                if reducer == "mean":
-                    m = mask[..., None].astype(msgs.dtype)
-                    total = jnp.sum(msgs * m, axis=-2)
-                    count = jnp.sum(mask.astype(msgs.dtype), axis=-1)
-                    agg = total / jnp.maximum(count, 1.0)[..., None]
-                elif reducer == "max":
-                    neg = jnp.asarray(-jnp.inf, dtype=msgs.dtype)
-                    agg = jnp.max(
-                        jnp.where(mask[..., None], msgs, neg), axis=-2
-                    )
-                    agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
-                else:  # lstm
-                    k = msgs.shape[-2]
-                    d = msgs.shape[-1]
-                    flat_msgs = jnp.where(
-                        mask[..., None], msgs, 0.0
-                    ).reshape(-1, k, d)
-                    flat_mask = mask.reshape(-1, k)
-                    agg = layer.lstm_reduce(flat_msgs, flat_mask).reshape(
-                        *ids.shape, d
-                    )
-                zs.append(layer.combine(h_self, agg, deterministic=deterministic))
-            if not zs:
-                raise ValueError(f"node type {ntype} has no incoming etypes")
-            return self._cross_etype_reduce(jnp.stack(zs, axis=0))
-
-        out = {}
-        keys = jax.random.split(rng, max(len(seeds), 1))
-        for i, (ntype, ids) in enumerate(seeds.items()):
-            out[ntype] = h_level(n_layers, ntype, ids, keys[i])
-        return out
+            msgs = h_nbr
+            if edge_weight is not None:
+                msgs = msgs * edge_weight[..., None]
+            reducer = layer.reducer
+            if reducer == "mean":
+                m = mask[..., None].astype(msgs.dtype)
+                total = jnp.sum(msgs * m, axis=-2)
+                count = jnp.sum(mask.astype(msgs.dtype), axis=-1)
+                agg = total / jnp.maximum(count, 1.0)[..., None]
+            elif reducer == "max":
+                neg = jnp.asarray(-jnp.inf, dtype=msgs.dtype)
+                agg = jnp.max(
+                    jnp.where(mask[..., None], msgs, neg), axis=-2
+                )
+                agg = jnp.where(jnp.isfinite(agg), agg, 0.0)
+            else:  # lstm
+                k = msgs.shape[-2]
+                d = msgs.shape[-1]
+                flat_msgs = jnp.where(
+                    mask[..., None], msgs, 0.0
+                ).reshape(-1, k, d)
+                flat_mask = mask.reshape(-1, k)
+                agg = layer.lstm_reduce(flat_msgs, flat_mask).reshape(
+                    *ids.shape, d
+                )
+            zs.append(layer.combine(h_self, agg, deterministic=deterministic))
+        if not zs:
+            raise ValueError(f"node type {ntype} has no incoming etypes")
+        return self._cross_etype_reduce(jnp.stack(zs, axis=0))
 
     def _sampled_repr_dedup(
         self,

@@ -93,6 +93,19 @@ class MinibatchConfig:
     # default; dedup wins on gather-bound/CPU backends (9x on the torch
     # CPU baseline) and when frontiers vastly exceed the node count.
     dedup: bool = False
+    # Run epochs as jit'd lax.scan chunks over steps: per-epoch on-device
+    # edge permutation, batch gather, step — a handful of dispatches and
+    # one D2H loss pull per epoch instead of per-step host batch slicing +
+    # transfers (per-step dispatch costs ~1 ms on a local chip and far more
+    # on tunneled/remote transports).  Falls back to the host loop under a
+    # mesh (the GSPMD path shards host batches explicitly).
+    device_epoch: bool = True
+    # Max scan steps per dispatch.  Bounds single-execution wall time (very
+    # long device programs can trip transport/watchdog limits — observed on
+    # tunneled v5e at ~123 heavy steps) while keeping per-dispatch overhead
+    # amortized.  The per-epoch permutation is shared across chunks, so
+    # chunking does not change which batches an epoch visits.
+    epoch_chunk_steps: int = 16
     k: int = 10
     metrics_every: int = 10  # reference: epoch % 10 == 1
     patience: int = 3
@@ -254,6 +267,141 @@ def make_minibatch_step(
     return jax.jit(step, donate_argnums=(0,) if with_update else ())
 
 
+def _per_etype_batch_sizes(
+    counts: Dict[CanonicalEtype, int], batch_size: int, round_to: int = 1
+) -> Tuple[Dict[CanonicalEtype, int], int]:
+    """Static per-etype slice widths + number of batches per epoch
+    (the shape logic of :func:`iter_edge_batches`)."""
+    total = sum(counts.values())
+    per_et = {
+        et: max(
+            round_to,
+            int(np.ceil(
+                max(1, round(batch_size * counts[et] / max(total, 1)))
+                / round_to
+            )) * round_to,
+        )
+        for et in counts
+    }
+    n_batches = max(1, int(np.ceil(total / batch_size)))
+    return per_et, n_batches
+
+
+def make_epoch_fns(
+    model: ConvModel,
+    cfg: MinibatchConfig,
+    train_etypes: Tuple[CanonicalEtype, ...],
+    with_update: bool,
+    with_exclusion: bool,
+    has_reverse: Dict[CanonicalEtype, bool],
+    counts: Dict[CanonicalEtype, int],
+) -> Tuple[Callable, Callable]:
+    """Device-resident epochs in bounded scan chunks.
+
+    Returns ``(perm_fn, chunk_fn)``:
+      perm_fn(eids, rng) -> perms             (one jit'd permutation/epoch)
+      chunk_fn(state, graph, features, edge_tables, store, perms, t0, rng,
+               n_steps*) -> (state, losses[n_steps])
+    where ``store`` maps etype -> (src, dst, recency) DEVICE arrays indexed
+    by edge id, ``perms`` are the epoch's shuffled candidate edge ids, and
+    ``t0`` (a device scalar) is the global step offset of this chunk --
+    slices wrap modulo the per-etype candidate count, exactly like
+    :func:`iter_edge_batches`.  ``n_steps`` is static (one compile per
+    distinct chunk length: the full chunk plus at most one remainder).
+
+    The host loop's per-step work -- shuffling, slicing, H2D batch
+    transfer, dispatch, loss pull -- all moves inside ``lax.scan``; the
+    host touches the device a handful of times per epoch.  Step math is
+    ``make_minibatch_step``'s.  Chunking bounds single-dispatch wall time
+    (very long device programs can trip transport/watchdog limits).
+    """
+    step = make_minibatch_step(
+        model, cfg, train_etypes, with_update=with_update,
+        with_exclusion=with_exclusion, has_reverse=has_reverse, jit=False,
+    )
+    per_et, _ = _per_etype_batch_sizes(counts, cfg.edge_batch_size)
+
+    @jax.jit
+    def perm_fn(eids, rng):
+        keys = jax.random.split(rng, max(len(train_etypes), 1))
+        return {
+            et: jax.random.permutation(keys[j], eids[et])
+            for j, et in enumerate(train_etypes)
+        }
+
+    @functools.partial(
+        jax.jit, static_argnames=("n_steps",),
+        donate_argnums=(0,) if with_update else (),
+    )
+    def chunk_fn(state, graph, features, edge_tables, store, perms, t0,
+                 rng, n_steps: int):
+        def body(carry, i):
+            state, rng = carry
+            rng, sub = jax.random.split(rng)
+            t = t0 + i
+            batch = {}
+            for et in train_etypes:
+                n = per_et[et]
+                e_count = counts[et]
+                pos = (t * n + jnp.arange(n, dtype=jnp.int32)) % e_count
+                batch_eids = jnp.take(perms[et], pos, axis=0)
+                src, dst, recency = store[et]
+                d = {
+                    "u": jnp.take(src, batch_eids, axis=0),
+                    "i": jnp.take(dst, batch_eids, axis=0),
+                    "recency": jnp.take(recency, batch_eids, axis=0),
+                }
+                if with_exclusion:
+                    d["eids"] = batch_eids
+                batch[et] = d
+            state, loss = step(
+                state, graph, features, batch, edge_tables, sub
+            )
+            return (state, rng), loss
+
+        (state, rng), losses = jax.lax.scan(
+            body, (state, rng), jnp.arange(n_steps, dtype=jnp.int32)
+        )
+        return state, losses
+
+    return perm_fn, chunk_fn
+
+
+def run_device_epoch(
+    perm_fn: Callable,
+    chunk_fn: Callable,
+    state,
+    graph,
+    features,
+    edge_tables,
+    store,
+    eids,
+    rng,
+    n_batches: int,
+    chunk_steps: int,
+):
+    """Drive one epoch as ceil(n_batches / chunk_steps) chunk dispatches.
+
+    The permutation is drawn once, so the chunks together visit exactly
+    the batches a single-dispatch epoch would.  Returns
+    (state, stacked device losses [n_batches])."""
+    rng, pk = jax.random.split(rng)
+    perms = perm_fn(eids, pk)
+    chunk = max(1, min(chunk_steps, n_batches))
+    losses = []
+    t = 0
+    while t < n_batches:
+        n = min(chunk, n_batches - t)
+        rng, sub = jax.random.split(rng)
+        state, ls = chunk_fn(
+            state, graph, features, edge_tables, store, perms,
+            jnp.int32(t), sub, n_steps=n,
+        )
+        losses.append(ls)
+        t += n
+    return state, jnp.concatenate(losses)
+
+
 def compute_embeddings_minibatch(
     model: ConvModel,
     params,
@@ -331,22 +479,25 @@ def train_minibatch(
         et: (et[2], REVERSE_NAMES.get(et[1], et[1]), et[0]) in train_graph.rels
         for et in train_etypes
     }
-    train_step = make_minibatch_step(
-        model, cfg, train_etypes, with_update=True,
-        with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
-    )
-    smoke_step = make_minibatch_step(
-        model, cfg, train_etypes, with_update=False,
-        with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
-    )
     valid_etypes = tuple(valid_eids.keys()) if valid_eids else ()
-    valid_step = make_minibatch_step(
-        model, cfg, valid_etypes, with_update=False,
-        with_exclusion=False, has_reverse=has_reverse,
-    )
-
-    train_store = _EdgeStore(train_graph, train_etypes)
-    valid_store = _EdgeStore(full_graph, valid_etypes)
+    host_loop = not (cfg.device_epoch and mesh is None)
+    if host_loop:
+        train_step = make_minibatch_step(
+            model, cfg, train_etypes, with_update=True,
+            with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
+        )
+        smoke_step = make_minibatch_step(
+            model, cfg, train_etypes, with_update=False,
+            with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
+        )
+        valid_step = make_minibatch_step(
+            model, cfg, valid_etypes, with_update=False,
+            with_exclusion=False, has_reverse=has_reverse,
+        )
+        # Host-side COO copies: only the host loop slices them (a D2H pull
+        # of the full edge arrays — skip entirely on the device path).
+        train_store = _EdgeStore(train_graph, train_etypes)
+        valid_store = _EdgeStore(full_graph, valid_etypes)
 
     # False negatives masked against the FULL (train+valid) edge set
     # (reference queries valid_graph, run.py:100).  ``host_edges`` avoids
@@ -394,6 +545,58 @@ def train_minibatch(
             row_shard_ntypes=(),
         )
 
+    # Fully device-resident epochs (one dispatch per epoch) when no mesh
+    # is driving explicit host-side batch sharding.
+    use_device_epoch = not host_loop
+
+    def _dev_store(graph, etypes):
+        return {
+            et: (
+                graph.rels[et].src,
+                graph.rels[et].dst,
+                graph.rels[et].edata["recency"]
+                if "recency" in graph.rels[et].edata
+                else jnp.ones(graph.rels[et].src.shape, jnp.float32),
+            )
+            for et in etypes
+        }
+
+    if use_device_epoch:
+        train_counts = {et: len(train_eids[et]) for et in train_etypes}
+        train_per_et, train_nb = _per_etype_batch_sizes(
+            train_counts, cfg.edge_batch_size
+        )
+        smoke_nb = min(10, train_nb)  # epoch-0 smoke pass (run.py:136-142)
+        train_perm_fn, train_chunk_fn = make_epoch_fns(
+            model, cfg, train_etypes, with_update=True,
+            with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
+            counts=train_counts,
+        )
+        smoke_perm_fn, smoke_chunk_fn = make_epoch_fns(
+            model, cfg, train_etypes, with_update=False,
+            with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
+            counts=train_counts,
+        )
+        train_store_dev = _dev_store(train_graph, train_etypes)
+        train_eids_dev = {
+            et: jnp.asarray(train_eids[et], jnp.int32) for et in train_etypes
+        }
+        if valid_eids:
+            valid_counts = {et: len(valid_eids[et]) for et in valid_etypes}
+            valid_per_et, valid_nb = _per_etype_batch_sizes(
+                valid_counts, cfg.edge_batch_size
+            )
+            valid_perm_fn, valid_chunk_fn = make_epoch_fns(
+                model, cfg, valid_etypes, with_update=False,
+                with_exclusion=False, has_reverse=has_reverse,
+                counts=valid_counts,
+            )
+            valid_store_dev = _dev_store(full_graph, valid_etypes)
+            valid_eids_dev = {
+                et: jnp.asarray(valid_eids[et], jnp.int32)
+                for et in valid_etypes
+            }
+
     host_rng = np.random.default_rng(cfg.seed)
     rng = jax.random.PRNGKey(cfg.seed)
     meter = ThroughputMeter()
@@ -407,50 +610,81 @@ def train_minibatch(
     trace_ctx.__enter__()
     for epoch in range(cfg.num_epochs):
         t0 = time.perf_counter()
-        losses = []
-        epoch_edges = 0
         meter.start()
-        for bi, batch_np in enumerate(
-            iter_edge_batches(host_rng, train_eids, cfg.edge_batch_size,
-                              round_to=data_extent)
-        ):
-            if epoch == 0 and bi >= 10:
-                break  # epoch-0 smoke pass (run.py:136-142)
-            batch = make_batch(train_store, batch_np, with_eids=True)
-            if mesh is not None:
-                batch = shard_batch_dict(mesh, batch)
+        if use_device_epoch:
             rng, sub = jax.random.split(rng)
-            step = smoke_step if epoch == 0 else train_step
-            state, loss = step(
-                state, train_graph, features, batch, edge_tables, sub
+            nb = smoke_nb if epoch == 0 else train_nb
+            pf, cf = (
+                (smoke_perm_fn, smoke_chunk_fn) if epoch == 0
+                else (train_perm_fn, train_chunk_fn)
             )
-            # Keep per-batch losses ON DEVICE: a D2H scalar pull per batch
-            # costs a host sync (and is pathologically slow on tunneled
-            # transports); one stacked pull per epoch is equivalent.
-            losses.append(loss)
-            epoch_edges += sum(len(v) for v in batch_np.values())
-        jax.block_until_ready(losses[-1])
-        history["edges_per_s"].append(meter.stop(epoch_edges))
-        history["train_loss"].append(float(jnp.mean(jnp.stack(losses))))
-
-        val_loss = None
-        if valid_eids:
-            vlosses = []
-            for batch_np in iter_edge_batches(
-                host_rng, valid_eids, cfg.edge_batch_size,
-                round_to=data_extent,
+            state, losses = run_device_epoch(
+                pf, cf, state, train_graph, features, edge_tables,
+                train_store_dev, train_eids_dev, sub, n_batches=nb,
+                chunk_steps=cfg.epoch_chunk_steps,
+            )
+            epoch_edges = nb * sum(train_per_et.values())
+        else:
+            losses = []
+            epoch_edges = 0
+            for bi, batch_np in enumerate(
+                iter_edge_batches(host_rng, train_eids, cfg.edge_batch_size,
+                                  round_to=data_extent)
             ):
-                batch = make_batch(valid_store, batch_np, with_eids=False)
+                if epoch == 0 and bi >= 10:
+                    break  # epoch-0 smoke pass (run.py:136-142)
+                batch = make_batch(train_store, batch_np, with_eids=True)
                 if mesh is not None:
                     batch = shard_batch_dict(mesh, batch)
                 rng, sub = jax.random.split(rng)
-                # Held-out pairs scored over TRAIN-graph neighborhoods
-                # (reference g_sampling, sampling.py:196-207).
-                _, loss = valid_step(
+                step = smoke_step if epoch == 0 else train_step
+                state, loss = step(
                     state, train_graph, features, batch, edge_tables, sub
                 )
-                vlosses.append(loss)  # device scalar; pulled once below
-            val_loss = float(jnp.mean(jnp.stack(vlosses)))
+                # Keep per-batch losses ON DEVICE: a D2H scalar pull per
+                # batch costs a host sync (and is pathologically slow on
+                # tunneled transports); one stacked pull per epoch is
+                # equivalent.
+                losses.append(loss)
+                epoch_edges += sum(len(v) for v in batch_np.values())
+            losses = jnp.stack(losses)
+        # The D2H pull is the only HARD sync (block_until_ready can
+        # under-wait on tunneled transports); pull BEFORE stopping the
+        # meter so edges/s reflects completed device work.
+        mean_loss = float(jnp.mean(losses))
+        history["edges_per_s"].append(meter.stop(epoch_edges))
+        history["train_loss"].append(mean_loss)
+
+        val_loss = None
+        if valid_eids:
+            if use_device_epoch:
+                rng, sub = jax.random.split(rng)
+                # Held-out pairs scored over TRAIN-graph neighborhoods
+                # (reference g_sampling, sampling.py:196-207).
+                _, vlosses = run_device_epoch(
+                    valid_perm_fn, valid_chunk_fn, state, train_graph,
+                    features, edge_tables, valid_store_dev, valid_eids_dev,
+                    sub, n_batches=valid_nb,
+                    chunk_steps=cfg.epoch_chunk_steps,
+                )
+                val_loss = float(jnp.mean(vlosses))
+            else:
+                vlosses = []
+                for batch_np in iter_edge_batches(
+                    host_rng, valid_eids, cfg.edge_batch_size,
+                    round_to=data_extent,
+                ):
+                    batch = make_batch(valid_store, batch_np, with_eids=False)
+                    if mesh is not None:
+                        batch = shard_batch_dict(mesh, batch)
+                    rng, sub = jax.random.split(rng)
+                    # Held-out pairs scored over TRAIN-graph neighborhoods
+                    # (reference g_sampling, sampling.py:196-207).
+                    _, loss = valid_step(
+                        state, train_graph, features, batch, edge_tables, sub
+                    )
+                    vlosses.append(loss)  # device scalar; pulled once below
+                val_loss = float(jnp.mean(jnp.stack(vlosses)))
             history["valid_loss"].append(val_loss)
 
         history["epoch_time"].append(time.perf_counter() - t0)

@@ -78,6 +78,7 @@ def build_model(
         aggregator_hetero=hyper.aggregator_hetero,
         embedding_layer=hyper.embedding_layer,
         dtype=dtype,
+        remat_levels=fixed.remat_levels,
     )
 
 

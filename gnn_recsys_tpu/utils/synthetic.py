@@ -28,6 +28,9 @@ class SyntheticData:
     num_users: int
     num_items: int
     num_groups: int
+    # Ground-truth cluster assignments (for oracle baselines in benchmarks).
+    user_group: Optional[np.ndarray] = None
+    item_group: Optional[np.ndarray] = None
 
 
 def make_synthetic_data(
@@ -130,4 +133,6 @@ def make_synthetic_data(
         num_users=num_users,
         num_items=num_items,
         num_groups=num_groups,
+        user_group=user_group,
+        item_group=item_group,
     )
