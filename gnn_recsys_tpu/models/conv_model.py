@@ -29,6 +29,7 @@ from flax import linen as nn
 
 from gnn_recsys_tpu.graph.hetero import CanonicalEtype, HeteroGraph
 from gnn_recsys_tpu.models.layers import (
+    AGGREGATOR_TYPES,
     ConvLayer,
     NodeEmbedding,
     PredictingLayer,
@@ -75,6 +76,26 @@ class ConvModel(nn.Module):
     # largest single level, at ~one extra forward of compute — the TPU
     # HBM-for-FLOPs trade for deep models (n_layers 4-5) or wide fanouts.
     remat_levels: bool = False
+
+    def __post_init__(self):
+        # Validate eagerly at construction, not at first trace: flax only
+        # runs setup() inside init/apply, which hides a bad config until
+        # deep in a training run (reference validates in __init__ too,
+        # src/model.py:143-149, 408-413).
+        if self.aggregator_type not in AGGREGATOR_TYPES:
+            raise KeyError(
+                f"Aggregator type {self.aggregator_type} not recognized."
+            )
+        if self.pred not in ("cos", "nn"):
+            raise KeyError(
+                f"Prediction function {self.pred} not recognized."
+            )
+        if self.aggregator_hetero not in ("sum", "mean", "max"):
+            raise KeyError(
+                f"Cross-etype aggregator {self.aggregator_hetero} "
+                "not recognized."
+            )
+        super().__post_init__()
 
     @property
     def dim_dict(self) -> Dict[str, int]:

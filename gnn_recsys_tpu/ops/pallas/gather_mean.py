@@ -12,22 +12,28 @@ with per-slot async DMAs (all in flight per destination tile) and reduces
 in VMEM — messages never hit HBM, traffic is ``O(B*K*D)`` reads +
 ``O(B*D)`` writes with no intermediate.
 
-Neighbor indices arrive via scalar prefetch so DMA addresses are known
-before the kernel body runs.
+Neighbor indices arrive as a per-tile SMEM block (pipelined like any
+operand — NOT whole-array scalar prefetch, which overflows the 1 MB SMEM
+budget once ``B*K*4`` bytes exceed it); the kernel body reads them as
+scalars to form the DMA addresses.
 
-TPU-compile status (measured on v5e, 2026-08): Mosaic rejects single-row
-HBM slices — "Slice shape along dimension 0 must be aligned to tiling
-(8)" — because f32 HBM memrefs are (8, 128)-tiled, so the minimum
-DMA-able unit along the row axis is 8 rows.  Fetching the aligned 8-row
-window per neighbor and selecting in VMEM would over-read 8x, which loses
-to XLA's fused gather (measured ~770 GB/s effective on this op at
-B=4096 K=8 D=256 from a 100k-row table on v5e — near HBM
-speed-of-light, so there is nothing left for a kernel to win).  The kernel
-therefore remains correct under ``interpret=True`` (CI-tested) and is NOT
-used on the hot path; the production aggregation path is the XLA
-take+reduce in :mod:`gnn_recsys_tpu.ops.message` and the dedup'd block
-forward in :meth:`ConvModel.sampled_repr`, which cuts gather volume at
-the algorithm level instead.
+TPU-compile note: f32 2-D HBM memrefs are (8, 128)-tiled, so Mosaic
+rejects single-row slices of an ``[N, D]`` table ("Slice shape along
+dimension 0 must be aligned to tiling (8)").  The table is therefore
+viewed as ``[N, 1, D]`` — the row axis becomes an untiled leading batch
+dim, and a one-row DMA is a legal ``(1, D)`` tile-aligned copy.
+
+Perf status (measured on v5e, 2026-08): XLA's fused gather runs this op
+at ~770 GB/s effective (B=4096 K=8 D=256, 100k-row table) — near HBM
+speed-of-light.  This kernel compiles and is exact on TPU but loses to
+it (1.9 ms vs 1.5 ms at the shape above; worse at K=32, where per-row
+(1, D) DMAs of 1-2 KB are DMA-latency-bound rather than
+bandwidth-bound), so it is NOT the default hot path; the production
+aggregation is the XLA take+reduce in :mod:`gnn_recsys_tpu.ops.message`
+plus the dedup'd block forward in :meth:`ConvModel.sampled_repr`, which
+cuts gather volume at the algorithm level instead.  Large
+``tile_rows*k`` also exhausts the per-core DMA-semaphore budget — keep
+``tile_rows*k <= 256``.
 """
 
 from __future__ import annotations
@@ -42,23 +48,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(nbr_ref, in_hbm, mask_ref, out_ref, scratch, sems, *,
             rows: int, k: int):
-    t = pl.program_id(0)
-
     # Launch every neighbor-row DMA for this destination tile, then drain.
+    # in_hbm is [N, 1, D]; a single-row slice is a (1, D) copy, legal under
+    # TPU tiling because the row axis is an untiled leading batch dim.
     for r in range(rows):
         for j in range(k):
-            idx = nbr_ref[t * rows + r, j]
+            idx = nbr_ref[r, j]
             pltpu.make_async_copy(
-                in_hbm.at[idx], scratch.at[r, j], sems.at[r, j]
+                in_hbm.at[idx], scratch.at[r * k + j], sems.at[r * k + j]
             ).start()
     for r in range(rows):
         for j in range(k):
-            idx = nbr_ref[t * rows + r, j]
+            idx = nbr_ref[r, j]
             pltpu.make_async_copy(
-                in_hbm.at[idx], scratch.at[r, j], sems.at[r, j]
+                in_hbm.at[idx], scratch.at[r * k + j], sems.at[r * k + j]
             ).wait()
 
-    msgs = scratch[:]  # [rows, k, D]
+    msgs = scratch[:].reshape(rows, k, -1)  # [rows, k, D]
     m = mask_ref[:].astype(msgs.dtype)  # [rows, k]
     total = jnp.sum(msgs * m[..., None], axis=1)
     count = jnp.sum(m, axis=1)
@@ -91,30 +97,29 @@ def gather_mean_pallas(
     bp = nbr.shape[0]
     # Clip padded/masked indices into range; masked slots contribute zeros.
     nbr = jnp.clip(nbr, 0, h_src.shape[0] - 1)
+    # Row axis as an untiled leading batch dim (see module docstring).
+    h_src3 = h_src[:, None, :]
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+    out = pl.pallas_call(
+        functools.partial(_kernel, rows=tile_rows, k=k),
         grid=(bp // tile_rows,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # h_src stays in HBM
             pl.BlockSpec(
-                (tile_rows, k), lambda t, nbr_ref: (t, 0),
-                memory_space=pltpu.VMEM,
+                (tile_rows, k), lambda t: (t, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # h_src stays in HBM
+            pl.BlockSpec(
+                (tile_rows, k), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
-            (tile_rows, d), lambda t, nbr_ref: (t, 0),
-            memory_space=pltpu.VMEM,
+            (tile_rows, d), lambda t: (t, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_rows, k, d), h_src.dtype),
-            pltpu.SemaphoreType.DMA((tile_rows, k)),
+            pltpu.VMEM((tile_rows * k, 1, d), h_src.dtype),
+            pltpu.SemaphoreType.DMA((tile_rows * k,)),
         ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_kernel, rows=tile_rows, k=k),
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((bp, d), h_src.dtype),
         interpret=interpret,
-    )(nbr, h_src, nbr_mask.astype(jnp.int32))
+    )(nbr, h_src3, nbr_mask.astype(jnp.int32))
     return out[:b]
