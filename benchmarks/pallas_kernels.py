@@ -123,6 +123,11 @@ def bench_gather_mean(n_src, batch, fanout, d, quick=False):
         f"XLA {t_xla * 1e3:.2f}ms"
     )
     for tile in (8, 16, 32):
+        if tile * fanout > 256:
+            # Per-core DMA-semaphore budget: the kernel issues one DMA per
+            # (row, neighbor) slot per tile (see gather_mean.py docstring).
+            line += f" | pallas(t={tile}) skipped(sem budget)"
+            continue
         try:
             t_pl, out = timeit(
                 lambda h, n, m: gather_mean_pallas(h, n, m, tile_rows=tile),

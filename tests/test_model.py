@@ -188,3 +188,23 @@ def test_generic_numpy_oracle_hetero_forward():
     for nt in ("user", "item"):
         np.testing.assert_allclose(np.asarray(h[nt]), hh[nt],
                                    rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "kw,val",
+    [
+        ("aggregator_type", "bogus"),
+        ("pred", "bogus"),
+        ("aggregator_hetero", "bogus"),
+    ],
+)
+def test_bad_config_rejected_at_construction(kw, val):
+    # Eager validation (reference validates in __init__ too,
+    # src/model.py:143-149,408-413): the KeyError must fire at
+    # construction, not at first trace.
+    with pytest.raises(KeyError, match=val):
+        ConvModel(
+            canonical_etypes=(("user", "buys", "item"),),
+            dims=(("user", 8), ("item", 8), ("hidden", 16), ("out", 8)),
+            **{kw: val},
+        )
