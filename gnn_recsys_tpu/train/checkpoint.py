@@ -39,6 +39,52 @@ def load_params(path: str, like: Optional[Any] = None):
     return ckptr.restore(path)
 
 
+def save_train_state(state, path: str) -> None:
+    """Save a full flax ``TrainState`` (params + optimizer state + step).
+
+    Enables EXACT mid-training resume via
+    ``train_minibatch(..., state=restored, start_epoch=E)`` — a real
+    version of the reference's vestigial ``start_epoch``
+    (``main.py:537``/``run.py:83``, which never reloads weights).
+    Only array leaves are stored; ``apply_fn``/``tx`` are reattached by
+    :func:`load_train_state`.
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        path,
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        },
+    )
+    ckptr.wait_until_finished()
+
+
+def load_train_state(path: str, like):
+    """Restore a ``TrainState`` saved by :func:`save_train_state`.
+
+    ``like`` is a freshly-constructed TrainState with the same model and
+    optimizer (supplies apply_fn/tx and the pytree structure).
+    """
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        path,
+        target={
+            "params": like.params,
+            "opt_state": like.opt_state,
+            "step": like.step,
+        },
+    )
+    return like.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+    )
+
+
 def save_run(
     out_dir: str,
     params,

@@ -460,6 +460,7 @@ def train_minibatch(
     host_edges: Optional[Dict] = None,
     profile_logdir: Optional[str] = None,
     mesh=None,
+    start_epoch: int = 0,
 ):
     """Run the reference training regime end to end. Returns (state, history).
 
@@ -468,6 +469,15 @@ def train_minibatch(
     train graph).  ``host_edges`` optionally supplies host-side numpy COO
     copies per etype (``{etype: (src, dst[, recency])}`` for the FULL
     graph) to avoid device->host pulls on slow transports.
+
+    ``start_epoch`` with a restored ``state`` resumes mid-training
+    EXACTLY: every RNG stream is derived per-epoch by ``fold_in`` (never
+    threaded across epochs), so epochs ``[start_epoch, num_epochs)`` see
+    the same randomness whether or not earlier epochs ran in this
+    process.  (The reference's ``start_epoch`` is vestigial — no weight
+    reload accompanies it, ``main.py:537``/``run.py:83``; here
+    ``save_train_state``/``load_train_state`` round-trip params AND
+    optimizer state.)
     """
     if state is None:
         params = init_model(model, train_graph, features, seed=cfg.seed)
@@ -597,8 +607,14 @@ def train_minibatch(
                 for et in valid_etypes
             }
 
-    host_rng = np.random.default_rng(cfg.seed)
-    rng = jax.random.PRNGKey(cfg.seed)
+    # Per-epoch RNG derivation (resume-exact): tag 0 = train stream,
+    # tag 1 = valid stream; host batch permutations get a per-epoch
+    # generator seeded by (seed, epoch).
+    base_rng = jax.random.PRNGKey(cfg.seed)
+
+    def _epoch_key(tag: int, epoch: int) -> jax.Array:
+        return jax.random.fold_in(jax.random.fold_in(base_rng, tag), epoch)
+
     meter = ThroughputMeter()
     history = {
         "train_loss": [], "valid_loss": [], "recall": [], "precision": [],
@@ -608,11 +624,12 @@ def train_minibatch(
     best_val, best_epoch, best_recall = np.inf, 0, -1.0
     trace_ctx = profiler_trace(profile_logdir)
     trace_ctx.__enter__()
-    for epoch in range(cfg.num_epochs):
+    for epoch in range(start_epoch, cfg.num_epochs):
         t0 = time.perf_counter()
         meter.start()
+        host_rng = np.random.default_rng((cfg.seed, epoch))
         if use_device_epoch:
-            rng, sub = jax.random.split(rng)
+            sub = _epoch_key(0, epoch)
             nb = smoke_nb if epoch == 0 else train_nb
             pf, cf = (
                 (smoke_perm_fn, smoke_chunk_fn) if epoch == 0
@@ -636,7 +653,7 @@ def train_minibatch(
                 batch = make_batch(train_store, batch_np, with_eids=True)
                 if mesh is not None:
                     batch = shard_batch_dict(mesh, batch)
-                rng, sub = jax.random.split(rng)
+                sub = jax.random.fold_in(_epoch_key(0, epoch), bi)
                 step = smoke_step if epoch == 0 else train_step
                 state, loss = step(
                     state, train_graph, features, batch, edge_tables, sub
@@ -658,7 +675,7 @@ def train_minibatch(
         val_loss = None
         if valid_eids:
             if use_device_epoch:
-                rng, sub = jax.random.split(rng)
+                sub = _epoch_key(1, epoch)
                 # Held-out pairs scored over TRAIN-graph neighborhoods
                 # (reference g_sampling, sampling.py:196-207).
                 _, vlosses = run_device_epoch(
@@ -670,14 +687,14 @@ def train_minibatch(
                 val_loss = float(jnp.mean(vlosses))
             else:
                 vlosses = []
-                for batch_np in iter_edge_batches(
+                for vbi, batch_np in enumerate(iter_edge_batches(
                     host_rng, valid_eids, cfg.edge_batch_size,
                     round_to=data_extent,
-                ):
+                )):
                     batch = make_batch(valid_store, batch_np, with_eids=False)
                     if mesh is not None:
                         batch = shard_batch_dict(mesh, batch)
-                    rng, sub = jax.random.split(rng)
+                    sub = jax.random.fold_in(_epoch_key(1, epoch), vbi)
                     # Held-out pairs scored over TRAIN-graph neighborhoods
                     # (reference g_sampling, sampling.py:196-207).
                     _, loss = valid_step(

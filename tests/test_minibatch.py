@@ -202,3 +202,61 @@ def test_device_epoch_matches_host_loop_learning():
     assert abs(finals[True] - finals[False]) < 0.5 * max(
         abs(finals[False]), 0.05
     )
+
+
+def test_resume_from_checkpoint_is_exact(tmp_path):
+    # Mid-training resume (SURVEY §5: the reference's start_epoch is
+    # vestigial — no weight reload): 4 straight epochs must equal
+    # 2 epochs -> save_train_state -> load_train_state -> 2 more, because
+    # every RNG stream is fold_in-derived per epoch.
+    import optax
+    from flax.training.train_state import TrainState
+
+    from gnn_recsys_tpu.train.checkpoint import (
+        load_train_state,
+        save_train_state,
+    )
+    from gnn_recsys_tpu.train.full_batch import init_model
+
+    data, g, model, feats = _setup()
+    train_eids = {
+        et: np.arange(g.num_edges(et)) for et in (ET_BUYS, ET_CLICKS)
+    }
+
+    def cfg(num_epochs, device_epoch):
+        return MinibatchConfig(
+            edge_batch_size=128, fanouts=(4, 4), neg_sample_size=5,
+            neg_mode="shared_pool", neg_pool_size=32, lr=3e-3,
+            num_epochs=num_epochs, metrics_every=0, patience=100,
+            device_epoch=device_epoch, seed=3,
+        )
+
+    for device_epoch in (True, False):
+        straight, _ = train_minibatch(
+            model, data.train_graph, g, feats, train_eids, None,
+            cfg(4, device_epoch),
+        )
+        first, _ = train_minibatch(
+            model, data.train_graph, g, feats, train_eids, None,
+            cfg(2, device_epoch),
+        )
+        path = tmp_path / f"state_{device_epoch}"
+        save_train_state(first, str(path))
+        params = init_model(model, data.train_graph, feats, seed=3)
+        like = TrainState.create(
+            apply_fn=model.apply, params=params, tx=optax.adam(3e-3)
+        )
+        restored = load_train_state(str(path), like)
+        np.testing.assert_array_equal(
+            np.asarray(restored.step), np.asarray(first.step)
+        )
+        resumed, _ = train_minibatch(
+            model, data.train_graph, g, feats, train_eids, None,
+            cfg(4, device_epoch), state=restored, start_epoch=2,
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            ),
+            straight.params, resumed.params,
+        )
