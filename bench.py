@@ -4,6 +4,11 @@ reference's own regime — edge_batch_size 2048, 2500 negatives per positive
 2 conv layers, Medium dims (hidden 256 / out 128) — on the TPU-native
 sampled-tree step (bf16 MXU compute, on-device sampling/masking).
 
+Timing is the chained-scan slope method (``utils/timing.py``): n steps in
+one dispatch, hard D2H sync, (T(n2)-T(n1))/(n2-n1) — block_until_ready
+under-waits on tunneled devices and per-dispatch RPC latency would
+otherwise dominate.
+
 Prints ONE JSON line:
   {"metric": "train_edges_per_s", "value": N, "unit": "edges/s",
    "vs_baseline": N}
@@ -115,9 +120,9 @@ def main():
     from gnn_recsys_tpu.train.full_batch import TrainState, init_model
     from gnn_recsys_tpu.train.minibatch import (
         MinibatchConfig,
-        iter_edge_batches,
         make_minibatch_step,
     )
+    from gnn_recsys_tpu.utils.timing import chain_time_per_call, hard_sync
 
     on_accel = ensure_responsive_device()
     t_build = time.perf_counter()
@@ -130,7 +135,11 @@ def main():
         edge_batch_size=2048 if on_accel else 512,
         fanouts=(8, 4),
         neg_sample_size=2500,  # reference default (main.py:511)
-        neg_mode="shared_pool",
+        # dense_pool ranks EVERY pool item per positive (4096 > the
+        # reference's 2500 negatives, same uniform marginal) as one
+        # [B, P] matmul — measured 42.7 vs 170.8 ms/step for the
+        # index-sampled shared_pool at this config on v5e.
+        neg_mode="dense_pool",
         neg_pool_size=4096 if on_accel else 512,
     )
     params = init_model(model, g, feats, seed=0)
@@ -141,64 +150,87 @@ def main():
     train_eids = {
         et: np.arange(g.num_edges(et)) for et in train_etypes
     }
-    has_reverse = {et: True for et in train_etypes}
-    step_fn = make_minibatch_step(
-        model, cfg, train_etypes, with_update=True, with_exclusion=True,
-        has_reverse=has_reverse,
-    )
     # Host-side COO copies come straight from the generator (no D2H pull).
     store_src = {et: u for et, (u, i) in data.train_pairs.items()}
     store_dst = {et: i for et, (u, i) in data.train_pairs.items()}
-    store_rec = {
-        et: np.ones_like(u, dtype=np.float32)
-        for et, (u, i) in data.train_pairs.items()
-    }
     edge_tables = {
         et: build_padded_pair_set(
             store_src[et], store_dst[et], num_src=data.num_users
         )
         for et in train_etypes
     }
-    host_rng = np.random.default_rng(0)
-    batches = iter_edge_batches(host_rng, train_eids, cfg.edge_batch_size)
+    # HONEST timing (utils/timing.py): block_until_ready under-waits on
+    # tunneled transports (an earlier revision of this bench "measured"
+    # 0.7 ms/step that way — ~400x off), and per-dispatch RPC latency
+    # dominates un-chunked loops.  Run n chained steps inside ONE jit'd
+    # lax.scan dispatch (on-device batch slicing, exactly the
+    # production device-epoch path), end with a scalar D2H pull, and take
+    # the (T(n2)-T(n1))/(n2-n1) slope so dispatch+pull overhead cancels.
+    store_dev = {
+        et: (jnp.asarray(store_src[et], jnp.int32),
+             jnp.asarray(store_dst[et], jnp.int32))
+        for et in train_etypes
+    }
+    counts = {et: len(store_src[et]) for et in train_etypes}
+    total = sum(counts.values())
+    per_et = {
+        et: max(1, cfg.edge_batch_size * counts[et] // total)
+        for et in train_etypes
+    }
+    batch_size = sum(per_et.values())
 
-    def make_batch(batch_np):
-        return {
-            et: {
-                "u": jnp.asarray(store_src[et][eids], jnp.int32),
-                "i": jnp.asarray(store_dst[et][eids], jnp.int32),
-                "recency": jnp.asarray(store_rec[et][eids], jnp.float32),
-                "eids": jnp.asarray(eids, jnp.int32),
+    def slice_batch(sb):
+        batch = {}
+        for et in train_etypes:
+            start = jax.random.randint(
+                sb, (), 0, counts[et] - per_et[et], jnp.int32
+            )
+            eids = start + jnp.arange(per_et[et], dtype=jnp.int32)
+            batch[et] = {
+                "u": jnp.take(store_dev[et][0], eids),
+                "i": jnp.take(store_dev[et][1], eids),
+                "recency": jnp.ones((per_et[et],), jnp.float32),
+                "eids": eids,
             }
-            for et, eids in batch_np.items()
-        }
+        return batch
+
+    import functools
+
+    step_raw = make_minibatch_step(
+        model, cfg, train_etypes, with_update=True, with_exclusion=True,
+        has_reverse={et: True for et in train_etypes}, jit=False,
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(state, rng, n):
+        def body(carry, _):
+            state, rng, acc = carry
+            rng, sub, sb = jax.random.split(rng, 3)
+            state, loss = step_raw(
+                state, g, feats, slice_batch(sb), edge_tables, sub
+            )
+            return (state, rng, acc + loss), ()
+        (state, _, acc), _ = jax.lax.scan(
+            body, (state, rng, jnp.float32(0)), None, length=n
+        )
+        return acc, acc / n
 
     rng = jax.random.PRNGKey(0)
-    batch_list = [make_batch(next(batches)) for _ in range(13)]
-    batch_size = sum(
-        int(v["u"].shape[0]) for v in batch_list[0].values()
-    )
     print(f"build+init: {time.perf_counter() - t_build:.1f}s", file=sys.stderr)
 
-    # Warmup / compile.
     t0 = time.perf_counter()
-    for b in batch_list[:3]:
-        rng, sub = jax.random.split(rng)
-        state, loss = step_fn(state, g, feats, b, edge_tables, sub)
-    jax.block_until_ready(loss)
+    _, mean_loss = chain(state, rng, 2)
+    loss_val = float(mean_loss)
     print(f"compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    n_steps = 10
-    t0 = time.perf_counter()
-    for b in batch_list[3:13]:
-        rng, sub = jax.random.split(rng)
-        state, loss = step_fn(state, g, feats, b, edge_tables, sub)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    edges_per_s = batch_size * n_steps / dt
+    n1, n2 = (4, 24) if on_accel else (2, 6)
+    step_s = chain_time_per_call(
+        None, lambda n: chain(state, rng, n)[0], n1=n1, n2=n2, reps=3,
+    )
+    edges_per_s = batch_size / step_s
     print(
         f"devices={jax.devices()} batch={batch_size} "
-        f"step={dt / n_steps * 1e3:.1f}ms loss={float(loss):.4f}",
+        f"step={step_s * 1e3:.1f}ms loss={loss_val:.4f}",
         file=sys.stderr,
     )
 

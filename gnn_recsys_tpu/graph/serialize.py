@@ -32,7 +32,10 @@ def save_graph(graph: HeteroGraph, path: str) -> None:
         header["etypes"].append(
             {"etype": list(et), "edata": sorted(rel.edata.keys())}
         )
-        for name in ("src", "dst", "nbr", "nbr_eid", "nbr_mask", "deg"):
+        names = ["src", "dst", "nbr", "nbr_eid", "nbr_mask", "deg"]
+        if rel.eid_pos is not None:
+            names.append("eid_pos")
+        for name in names:
             arrays[_flat_key("rel", et_key, name)] = np.asarray(
                 getattr(rel, name)
             )
@@ -65,6 +68,17 @@ def load_graph(path: str) -> HeteroGraph:
                 name: jnp.asarray(z[_flat_key("edata", et_key, name)])
                 for name in entry["edata"]
             }
+            pos_key = _flat_key("rel", et_key, "eid_pos")
+            if pos_key in z:
+                eid_pos = jnp.asarray(z[pos_key])
+            else:  # file written before eid_pos existed: recompute
+                from gnn_recsys_tpu.graph.hetero import compute_eid_pos
+
+                eid_pos = jnp.asarray(compute_eid_pos(
+                    z[_flat_key("rel", et_key, "nbr_eid")],
+                    z[_flat_key("rel", et_key, "nbr_mask")],
+                    int(z[_flat_key("rel", et_key, "src")].shape[0]),
+                ))
             rels[et] = Relation(
                 src=arr("src"),
                 dst=arr("dst"),
@@ -73,6 +87,7 @@ def load_graph(path: str) -> HeteroGraph:
                 nbr_mask=arr("nbr_mask"),
                 deg=arr("deg"),
                 edata=edata,
+                eid_pos=eid_pos,
             )
         ndata = {
             nt: {

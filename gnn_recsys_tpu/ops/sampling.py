@@ -36,7 +36,9 @@ def sample_neighbors(
     rng: Optional[jax.Array] = None,
     mode: str = "uniform",
     exclude_sorted_eids: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    exclude_flags: Optional[jax.Array] = None,
+    with_eids: bool = True,
+) -> Tuple[Optional[jax.Array], Optional[jax.Array], jax.Array]:
     """Sample incoming neighbors of ``ids`` under relation ``rel``.
 
     ids: int32 of any shape [*s].
@@ -45,14 +47,37 @@ def sample_neighbors(
         each node's true neighbor list.
       * mode='full': shapes [*s, K] where K is the relation's padded width;
         every valid neighbor slot (the reference's full-neighbor sampler).
+
+    Exclusion (either form masks the same edges):
+      * exclude_flags: [N_dst*K] bool, True at padded-table positions to
+        exclude (build from ``rel.eid_pos`` — see
+        :func:`exclusion_flags`).  ONE gather, reusing the sampler's flat
+        index: the fast path (searchsorted runs ~11 sequential
+        binary-search iterations, each itself a scalar gather — measured
+        ~115 ms/step slower at the bench config on v5e).
+      * exclude_sorted_eids: [B] SORTED edge ids (legacy fallback; forces
+        the eid gather even when ``with_eids=False``).
+
+    ``with_eids=False`` skips the edge-id gather (one of the three table
+    gathers) when the caller needs no per-edge features.
     """
     kmax = rel.max_fanout
     deg = jnp.take(rel.deg, ids, axis=0)  # [*s]
+    need_eids = with_eids or (
+        exclude_sorted_eids is not None and exclude_sorted_eids.shape[0] > 0
+    )
 
+    eid = None
     if mode == "full":
         nbr = jnp.take(rel.nbr, ids, axis=0)  # [*s, K]
-        eid = jnp.take(rel.nbr_eid, ids, axis=0)
+        if need_eids:
+            eid = jnp.take(rel.nbr_eid, ids, axis=0)
         mask = jnp.take(rel.nbr_mask, ids, axis=0)
+        if exclude_flags is not None:
+            excluded = jnp.take(
+                exclude_flags.reshape(-1, kmax), ids, axis=0
+            )
+            mask = mask & ~excluded
     elif mode == "uniform":
         if rng is None:
             raise ValueError("uniform sampling requires an rng key")
@@ -63,8 +88,11 @@ def sample_neighbors(
         )
         flat = ids[..., None].astype(jnp.int32) * kmax + slot
         nbr = jnp.take(rel.nbr.reshape(-1), flat, axis=0)
-        eid = jnp.take(rel.nbr_eid.reshape(-1), flat, axis=0)
+        if need_eids:
+            eid = jnp.take(rel.nbr_eid.reshape(-1), flat, axis=0)
         mask = jnp.broadcast_to((deg > 0)[..., None], nbr.shape)
+        if exclude_flags is not None:
+            mask = mask & ~jnp.take(exclude_flags, flat, axis=0)
     else:
         raise KeyError(f"sampling mode {mode} not recognized.")
 
@@ -77,3 +105,24 @@ def sample_neighbors(
         excluded = exclude_sorted_eids[pos] == eid
         mask = mask & ~excluded
     return nbr, eid, mask
+
+
+def exclusion_flags(rel: Relation, eids: jax.Array) -> jax.Array:
+    """[N_dst*K] bool positional exclusion table for ``eids`` of ``rel``.
+
+    Scatters True at each edge's padded-table position (``rel.eid_pos``);
+    edges dropped by the fanout cap carry an out-of-bounds sentinel and
+    are dropped by the scatter (they cannot be sampled anyway).  Build
+    ONCE per step/forward and pass to :func:`sample_neighbors` at every
+    level — the tables are read by every level's single-gather test.
+    """
+    if rel.eid_pos is None:
+        raise ValueError(
+            "relation has no eid_pos (built by an old writer); "
+            "use exclude_sorted_eids instead"
+        )
+    pos = jnp.take(rel.eid_pos, eids.reshape(-1).astype(jnp.int32), axis=0)
+    nk = rel.nbr.size
+    return (
+        jnp.zeros((nk,), jnp.bool_).at[pos].set(True, mode="drop")
+    )

@@ -78,7 +78,15 @@ class MinibatchConfig:
     edge_batch_size: int = 2048
     fanouts: Tuple[int, ...] = (-1, -1)  # -1 = full padded neighbor row
     neg_sample_size: int = 63
-    neg_mode: str = "shared_pool"  # 'shared_pool' | 'per_edge'
+    # 'shared_pool': S uniform picks per positive from one uniform pool
+    #   (same marginal as the reference's per-edge corruption).
+    # 'per_edge': exact reference semantics — S independent draws per
+    #   positive (src/sampling.py:163-165); O(B*S) embedding cost.
+    # 'dense_pool': every positive ranks the ENTIRE pool — one [B, P]
+    #   matmul, no index gather in forward OR backward (the score pick
+    #   and its scatter-transpose cost ~45 ms/step on v5e at the bench
+    #   config); per-negative marginal unchanged, effective S = P.
+    neg_mode: str = "shared_pool"
     neg_pool_size: int = 1024
     delta: float = 0.266
     lr: float = 1e-3
@@ -192,7 +200,7 @@ def make_minibatch_step(
                 if has_reverse[et]:
                     exclude[rev] = sorted_eids
 
-        if cfg.neg_mode == "shared_pool":
+        if cfg.neg_mode in ("shared_pool", "dense_pool"):
             pool = jax.random.randint(
                 r_pool, (cfg.neg_pool_size,), 0, num_items, dtype=jnp.int32
             )
@@ -210,7 +218,9 @@ def make_minibatch_step(
         offset = 0
         for j, et in enumerate(train_etypes):
             b = int(pairs[et][0].shape[0])
-            if cfg.neg_mode == "shared_pool":
+            if cfg.neg_mode == "dense_pool":
+                neg_idx[et] = None  # rank the whole pool
+            elif cfg.neg_mode == "shared_pool":
                 neg_idx[et] = jax.random.randint(
                     idx_keys[j], (b, cfg.neg_sample_size), 0,
                     cfg.neg_pool_size, dtype=jnp.int32,

@@ -62,12 +62,18 @@ def chain_time_per_call(
         hard_sync(warmup())
     else:
         hard_sync(chain(1))
-    best = float("inf")
-    for _ in range(reps):
-        ts = []
-        for n in (n1, n2):
+    # Per-dispatch wall time on tunneled transports has multi-second
+    # positive noise (RPC queueing).  Take the MIN of each chain length's
+    # repeats separately before the slope — min is robust against
+    # positive outliers, while per-rep slopes let one slow T(n1) turn the
+    # estimate negative.
+    t_min = {}
+    for n in (n1, n2):
+        hard_sync(chain(n))  # compile this length outside the timing
+        best = float("inf")
+        for _ in range(reps):
             t0 = time.perf_counter()
             hard_sync(chain(n))
-            ts.append(time.perf_counter() - t0)
-        best = min(best, (ts[1] - ts[0]) / (n2 - n1))
-    return best
+            best = min(best, time.perf_counter() - t0)
+        t_min[n] = best
+    return (t_min[n2] - t_min[n1]) / (n2 - n1)

@@ -260,3 +260,22 @@ def test_resume_from_checkpoint_is_exact(tmp_path):
             ),
             straight.params, resumed.params,
         )
+
+
+def test_dense_pool_mode_learns_and_masks():
+    # dense_pool: every positive ranks the whole pool (one [B, P] matmul,
+    # no index gathers); must train and must apply the false-negative
+    # mask over (u, pool) pairs.
+    data, g, model, feats = _setup()
+    train_eids = {
+        et: np.arange(g.num_edges(et)) for et in (ET_BUYS, ET_CLICKS)
+    }
+    cfg = MinibatchConfig(
+        edge_batch_size=128, fanouts=(4, 4), neg_sample_size=0,
+        neg_mode="dense_pool", neg_pool_size=48, lr=3e-3, num_epochs=10,
+        metrics_every=0, patience=100, remove_false_negative=True,
+    )
+    state, hist = train_minibatch(
+        model, data.train_graph, g, feats, train_eids, None, cfg,
+    )
+    assert hist["train_loss"][-1] < hist["train_loss"][1]

@@ -238,3 +238,45 @@ def test_deeper_model_three_conv_layers(data):
     h = model.apply(params, method=sampled)
     assert h["user"].shape == (2, 8)
     assert np.isfinite(np.asarray(h["user"])).all()
+
+
+def test_exclusion_flags_equivalent_to_searchsorted(data):
+    # The positional-flag fast path must mask exactly the edges the
+    # legacy sorted-eid searchsorted path masks, in both sampler modes.
+    from gnn_recsys_tpu.ops.sampling import exclusion_flags
+
+    rel = data.graph.rels[ET_BUYS]
+    ids = jnp.arange(20, dtype=jnp.int32)
+    dst = np.asarray(rel.dst)
+    excl = np.sort(np.where(dst % 3 == 0)[0]).astype(np.int32)
+    flags = exclusion_flags(rel, jnp.asarray(excl))
+    for mode, rng in (("full", None), ("uniform", jax.random.PRNGKey(7))):
+        nbr_a, _, mask_a = sample_neighbors(
+            rel, ids, fanout=4, rng=rng, mode=mode,
+            exclude_sorted_eids=jnp.asarray(excl),
+        )
+        nbr_b, _, mask_b = sample_neighbors(
+            rel, ids, fanout=4, rng=rng, mode=mode, exclude_flags=flags,
+        )
+        np.testing.assert_array_equal(np.asarray(nbr_a), np.asarray(nbr_b))
+        np.testing.assert_array_equal(np.asarray(mask_a), np.asarray(mask_b))
+
+
+def test_eid_pos_roundtrip(tmp_path, data):
+    # eid_pos maps each edge to its padded slot; serialization keeps it.
+    from gnn_recsys_tpu.graph.serialize import load_graph, save_graph
+
+    rel = data.graph.rels[ET_BUYS]
+    pos = np.asarray(rel.eid_pos)
+    nbr_eid = np.asarray(rel.nbr_eid).reshape(-1)
+    mask = np.asarray(rel.nbr_mask).reshape(-1)
+    in_table = pos < nbr_eid.shape[0] * 0 + np.asarray(rel.nbr).size
+    for e in range(len(pos)):
+        if in_table[e]:
+            assert mask[pos[e]] and nbr_eid[pos[e]] == e
+    path = tmp_path / "g.npz"
+    save_graph(data.graph, str(path))
+    g2 = load_graph(str(path))
+    np.testing.assert_array_equal(
+        np.asarray(g2.rels[ET_BUYS].eid_pos), pos
+    )
