@@ -263,9 +263,16 @@ def main():
         neg_sample_size=cfg.neg_sample_size,
         neg_pool_size=cfg.neg_pool_size, steps=2,
     )
+    # The live measurement swings ~4x with concurrent host load
+    # (observed 197-887 edges/s for the same work).  Keep vs_baseline a
+    # conservative LOWER bound by crediting the baseline with the best
+    # rate ever measured on an idle host (2026-08, 16-vCPU runner).
+    BASELINE_FLOOR = 887.0 if on_accel else 0.0
+    eager_edges_per_s = max(eager_edges_per_s, BASELINE_FLOOR)
     print(
         f"torch-CPU baseline: {eager_edges_per_s:,.0f} edges/s "
-        f"(measured in {time.perf_counter() - t0:.1f}s)",
+        f"(measured in {time.perf_counter() - t0:.1f}s; floor "
+        f"{BASELINE_FLOOR:,.0f})",
         file=sys.stderr,
     )
     print(

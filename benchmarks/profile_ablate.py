@@ -122,6 +122,8 @@ def main():
         ("step-dense", make_cfg(neg_mode="dense_pool"), True),
         ("step-dense-lean", make_cfg(neg_mode="dense_pool",
                                      remove_false_negative=False), False),
+        ("step-dense-dedup", make_cfg(neg_mode="dense_pool", dedup=True),
+         True),
     ]
     if args.only:
         variants = [v for v in variants if v[0] in args.only]

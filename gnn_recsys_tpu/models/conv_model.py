@@ -49,6 +49,21 @@ def _etype_key(etype: CanonicalEtype) -> str:
     return "__".join(etype)
 
 
+def _exclusion_kwargs(excl) -> Dict[str, jax.Array]:
+    """Route one exclusion entry to the matching sample_neighbors kwarg.
+
+    2-D int = sign-marked neighbor table, 1-D bool = positional flags,
+    1-D int = legacy sorted edge ids (see ops/sampling.py).
+    """
+    if excl is None:
+        return {}
+    if excl.ndim == 2:
+        return {"nbr_table": excl}
+    if excl.dtype == jnp.bool_:
+        return {"exclude_flags": excl}
+    return {"exclude_sorted_eids": excl}
+
+
 class ConvModel(nn.Module):
     """Full hetero message-passing model.
 
@@ -308,23 +323,26 @@ class ConvModel(nn.Module):
                 f"fanouts has {len(fanouts)} entries, model has {n_layers} "
                 f"conv layers"
             )
-        # Translate edge-id exclusion lists into positional flag tables
-        # ONCE per forward (bool entries pass through): every level then
-        # tests exclusion with a single gather instead of a searchsorted
-        # (measured ~115 ms/step on v5e at the bench config).  Levels
-        # distinguish the two forms by dtype (bool = flags).
+        # Translate edge-id exclusion lists into sign-marked neighbor
+        # tables ONCE per forward: exclusion then rides every level's
+        # existing neighbor gather at zero extra per-level cost (vs a
+        # searchsorted per level, measured ~115 ms/step on v5e at the
+        # bench config).  Levels distinguish the forms structurally:
+        # 2-D int = marked table, 1-D bool = positional flags, 1-D int =
+        # legacy sorted eids.
         if exclude_eids is not None:
-            from gnn_recsys_tpu.ops.sampling import exclusion_flags
+            from gnn_recsys_tpu.ops.sampling import exclusion_table
 
             translated = {}
             for et, v in exclude_eids.items():
                 rel = graph.rels.get(et)
                 if (
-                    v.dtype != jnp.bool_
+                    v.ndim == 1
+                    and v.dtype != jnp.bool_
                     and rel is not None
                     and rel.eid_pos is not None
                 ):
-                    translated[et] = exclusion_flags(rel, v)
+                    translated[et] = exclusion_table(rel, v)
                 else:
                     translated[et] = v
             exclude_eids = translated
@@ -424,7 +442,6 @@ class ConvModel(nn.Module):
             excl = None
             if exclude_eids is not None and etype in exclude_eids:
                 excl = exclude_eids[etype]
-            excl_is_flags = excl is not None and excl.dtype == jnp.bool_
             need_eid = (
                 layer.edge_weighted
                 and etype[0] in ("user", "item")
@@ -437,9 +454,8 @@ class ConvModel(nn.Module):
                 fanout=max(fanout, 1),
                 rng=keys[2 * j],
                 mode="full" if fanout == -1 else "uniform",
-                exclude_sorted_eids=None if excl_is_flags else excl,
-                exclude_flags=excl if excl_is_flags else None,
                 with_eids=need_eid,
+                **_exclusion_kwargs(excl),
             )
             h_nbr = self._tree_dispatch(
                 graph, features, exclude_eids, fanouts, deterministic,
@@ -580,9 +596,6 @@ class ConvModel(nn.Module):
                     excl = None
                     if exclude_eids is not None and et in exclude_eids:
                         excl = exclude_eids[et]
-                    excl_is_flags = (
-                        excl is not None and excl.dtype == jnp.bool_
-                    )
                     layer = layer_dict[_etype_key(et)]
                     rel = graph.rels[et]
                     need_eid = (
@@ -597,9 +610,8 @@ class ConvModel(nn.Module):
                         fanout=max(fanout, 1),
                         rng=sk,
                         mode="full" if fanout == -1 else "uniform",
-                        exclude_sorted_eids=None if excl_is_flags else excl,
-                        exclude_flags=excl if excl_is_flags else None,
                         with_eids=need_eid,
+                        **_exclusion_kwargs(excl),
                     )
                     entry["etypes"][et] = {
                         "ref": (et[0],) + push(et[0], nbr),

@@ -37,6 +37,7 @@ def sample_neighbors(
     mode: str = "uniform",
     exclude_sorted_eids: Optional[jax.Array] = None,
     exclude_flags: Optional[jax.Array] = None,
+    nbr_table: Optional[jax.Array] = None,
     with_eids: bool = True,
 ) -> Tuple[Optional[jax.Array], Optional[jax.Array], jax.Array]:
     """Sample incoming neighbors of ``ids`` under relation ``rel``.
@@ -48,14 +49,15 @@ def sample_neighbors(
       * mode='full': shapes [*s, K] where K is the relation's padded width;
         every valid neighbor slot (the reference's full-neighbor sampler).
 
-    Exclusion (either form masks the same edges):
-      * exclude_flags: [N_dst*K] bool, True at padded-table positions to
-        exclude (build from ``rel.eid_pos`` — see
-        :func:`exclusion_flags`).  ONE gather, reusing the sampler's flat
-        index: the fast path (searchsorted runs ~11 sequential
-        binary-search iterations, each itself a scalar gather — measured
-        ~115 ms/step slower at the bench config on v5e).
-      * exclude_sorted_eids: [B] SORTED edge ids (legacy fallback; forces
+    Exclusion (every form masks the same edges), fastest first:
+      * nbr_table: [N_dst, K] sign-marked copy of ``rel.nbr``
+        (:func:`exclusion_table`) — exclusion rides the existing neighbor
+        gather, zero extra per-level cost.
+      * exclude_flags: [N_dst*K] bool (:func:`exclusion_flags`) — one
+        extra bool gather per level.
+      * exclude_sorted_eids: [B] SORTED edge ids (legacy; a searchsorted
+        per level, ~11 sequential scalar-gather iterations — measured
+        ~115 ms/step slower than flags at the bench config on v5e; forces
         the eid gather even when ``with_eids=False``).
 
     ``with_eids=False`` skips the edge-id gather (one of the three table
@@ -66,13 +68,17 @@ def sample_neighbors(
     need_eids = with_eids or (
         exclude_sorted_eids is not None and exclude_sorted_eids.shape[0] > 0
     )
+    table = rel.nbr if nbr_table is None else nbr_table
 
     eid = None
     if mode == "full":
-        nbr = jnp.take(rel.nbr, ids, axis=0)  # [*s, K]
+        nbr = jnp.take(table, ids, axis=0)  # [*s, K]
         if need_eids:
             eid = jnp.take(rel.nbr_eid, ids, axis=0)
         mask = jnp.take(rel.nbr_mask, ids, axis=0)
+        if nbr_table is not None:
+            mask = mask & (nbr >= 0)
+            nbr = nbr & jnp.int32(2**31 - 1)
         if exclude_flags is not None:
             excluded = jnp.take(
                 exclude_flags.reshape(-1, kmax), ids, axis=0
@@ -87,10 +93,13 @@ def sample_neighbors(
             jnp.maximum(deg - 1, 0)[..., None],
         )
         flat = ids[..., None].astype(jnp.int32) * kmax + slot
-        nbr = jnp.take(rel.nbr.reshape(-1), flat, axis=0)
+        nbr = jnp.take(table.reshape(-1), flat, axis=0)
         if need_eids:
             eid = jnp.take(rel.nbr_eid.reshape(-1), flat, axis=0)
         mask = jnp.broadcast_to((deg > 0)[..., None], nbr.shape)
+        if nbr_table is not None:
+            mask = mask & (nbr >= 0)
+            nbr = nbr & jnp.int32(2**31 - 1)
         if exclude_flags is not None:
             mask = mask & ~jnp.take(exclude_flags, flat, axis=0)
     else:
@@ -105,6 +114,30 @@ def sample_neighbors(
         excluded = exclude_sorted_eids[pos] == eid
         mask = mask & ~excluded
     return nbr, eid, mask
+
+
+def exclusion_table(rel: Relation, eids: jax.Array) -> jax.Array:
+    """[N_dst, K] copy of ``rel.nbr`` with excluded slots sign-marked.
+
+    The sampler's existing neighbor gather then carries the exclusion bit
+    for free (node ids are non-negative, so the sign bit is spare):
+    ZERO extra per-level gathers, vs one [frontier]-sized bool gather per
+    level for :func:`exclusion_flags` (~1 cycle/element on TPU — ~12 ms
+    per step at the bench config's ~12 sampler calls).  Build cost is one
+    [N*K] int32 copy + a tiny scatter, once per step.
+    """
+    if rel.eid_pos is None:
+        raise ValueError(
+            "relation has no eid_pos (built by an old writer); "
+            "use exclude_sorted_eids instead"
+        )
+    pos = jnp.take(rel.eid_pos, eids.reshape(-1).astype(jnp.int32), axis=0)
+    flat = rel.nbr.reshape(-1)
+    vals = jnp.take(flat, jnp.minimum(pos, flat.shape[0] - 1), axis=0)
+    marked = flat.at[pos].set(
+        vals | jnp.int32(-(2**31)), mode="drop"
+    )
+    return marked.reshape(rel.nbr.shape)
 
 
 def exclusion_flags(rel: Relation, eids: jax.Array) -> jax.Array:

@@ -280,3 +280,29 @@ def test_eid_pos_roundtrip(tmp_path, data):
     np.testing.assert_array_equal(
         np.asarray(g2.rels[ET_BUYS].eid_pos), pos
     )
+
+
+def test_exclusion_table_equivalent_to_searchsorted(data):
+    # The sign-marked neighbor-table fast path must mask exactly the
+    # edges the legacy sorted-eid path masks, with identical nbr values.
+    from gnn_recsys_tpu.ops.sampling import exclusion_table
+
+    rel = data.graph.rels[ET_BUYS]
+    ids = jnp.arange(20, dtype=jnp.int32)
+    dst = np.asarray(rel.dst)
+    excl = np.sort(np.where(dst % 3 == 0)[0]).astype(np.int32)
+    table = exclusion_table(rel, jnp.asarray(excl))
+    for mode, rng in (("full", None), ("uniform", jax.random.PRNGKey(7))):
+        nbr_a, _, mask_a = sample_neighbors(
+            rel, ids, fanout=4, rng=rng, mode=mode,
+            exclude_sorted_eids=jnp.asarray(excl),
+        )
+        nbr_b, _, mask_b = sample_neighbors(
+            rel, ids, fanout=4, rng=rng, mode=mode, nbr_table=table,
+        )
+        np.testing.assert_array_equal(np.asarray(mask_a), np.asarray(mask_b))
+        # nbr values must agree wherever the slot is valid
+        m = np.asarray(mask_b)
+        np.testing.assert_array_equal(
+            np.asarray(nbr_a)[m], np.asarray(nbr_b)[m]
+        )
