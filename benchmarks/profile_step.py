@@ -31,9 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n1", type=int, default=2)
-    ap.add_argument("--n2", type=int, default=12)
-    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--n1", type=int, default=4)
+    ap.add_argument("--n2", type=int, default=44)
+    ap.add_argument("--reps", type=int, default=3)
     args = ap.parse_args()
 
     import jax
@@ -58,7 +58,7 @@ def main():
     model, data, g, feats = bench.build()
     cfg = MinibatchConfig(
         edge_batch_size=2048, fanouts=(8, 4), neg_sample_size=2500,
-        neg_mode="shared_pool", neg_pool_size=4096,
+        neg_mode="dense_pool", neg_pool_size=4096,
     )
     params = init_model(model, g, feats, seed=0)
     state = TrainState.create(
@@ -108,6 +108,8 @@ def main():
         pool = jax.random.randint(
             r_pool, (cfg.neg_pool_size,), 0, g.num_nodes("item"), jnp.int32
         )
+        if cfg.neg_mode == "dense_pool":
+            return pool, {et: None for et in train_etypes}
         keys = jax.random.split(r_idx, len(train_etypes))
         neg_idx = {
             et: jax.random.randint(

@@ -93,7 +93,10 @@ def main():
         edge_batch_size=args.edge_batch,
         fanouts=(8, 4),
         neg_sample_size=2500,  # reference default (main.py:511)
-        neg_mode="shared_pool",
+        # dense_pool ranks all 4096 pool items per positive (more
+        # negatives than the reference's 2500, same uniform marginal) and
+        # is ~8x faster per step than the index-sampled pool on v5e.
+        neg_mode="dense_pool",
         neg_pool_size=4096,
         delta=0.266,  # reference default (main.py:510)
         lr=5e-4,

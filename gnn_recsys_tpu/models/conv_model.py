@@ -304,8 +304,9 @@ class ConvModel(nn.Module):
         exactly once per layer.  ``dedup=False`` (default) keeps the pure
         PinSAGE-style tree (one independent sample per occurrence) — faster
         on TPU at training shapes, where the MXU absorbs the duplicate
-        FLOPs more cheaply than the frontier sort/unique (measured 0.88 vs
-        1.29 ms/step on v5e at B=2048, fanouts (8,4), hidden 256 bf16).
+        FLOPs more cheaply than the frontier sort/unique (honest
+        chained-scan timing on v5e, B=2048, fanouts (8,4), hidden 256
+        bf16, dense-pool step: tree 22.0 vs dedup 76.9 ms/step).
 
         seeds: ntype -> int32 ids of any shape.
         fanouts: one entry per conv layer, in execution order (first conv =

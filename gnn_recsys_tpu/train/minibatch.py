@@ -95,11 +95,12 @@ class MinibatchConfig:
     use_recency: bool = False
     exclude_batch_edges: bool = True
     # Unique-frontier blocks (DGL semantics) vs pure tree.  Measured on
-    # v5e at the bench regime (B=2048, fanouts (8,4), hidden 256 bf16):
-    # tree 0.88 ms/step vs dedup 1.29 ms — the MXU absorbs the duplicate
-    # FLOPs faster than the frontier sort/unique costs, so tree is the
-    # default; dedup wins on gather-bound/CPU backends (9x on the torch
-    # CPU baseline) and when frontiers vastly exceed the node count.
+    # v5e at the bench regime (B=2048, fanouts (8,4), hidden 256 bf16,
+    # dense-pool step, honest chained-scan timing): tree 22.0 ms/step vs
+    # dedup 76.9 — the MXU absorbs the duplicate FLOPs faster than the
+    # frontier sort/unique costs, so tree is the default; dedup wins on
+    # gather-bound/CPU backends (9x on the torch CPU baseline) and when
+    # frontiers vastly exceed the node count.
     dedup: bool = False
     # Run epochs as jit'd lax.scan chunks over steps: per-epoch on-device
     # edge permutation, batch gather, step — a handful of dispatches and
