@@ -24,14 +24,43 @@ import numpy as np
 
 
 def timeit(fn, *args, iters=20, warmup=3):
-    for _ in range(warmup):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters, out
+    """Honest per-call time + one output (utils/timing.py rationale:
+    block_until_ready under-waits on tunneled devices, and per-dispatch
+    RPC latency swamps un-chunked loops).  Runs n chained calls in one
+    jit'd lax.scan — each iteration's first float input is perturbed by
+    the carried reduction so XLA cannot hoist the loop-invariant body —
+    and reports the (T(n2)-T(n1))/(n2-n1) slope with hard D2H syncs.
+    ``iters`` sets the long chain length."""
+    import functools
+
+    from gnn_recsys_tpu.utils.timing import chain_time_per_call
+
+    del warmup  # chain_time_per_call compiles/warms each length itself
+    out = fn(*args)
+
+    first_float = next(
+        i for i, a in enumerate(args)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+    )
+
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def chain(n):
+        def body(acc, _):
+            call_args = list(args)
+            call_args[first_float] = call_args[first_float] + (
+                acc * jnp.asarray(1e-30, call_args[first_float].dtype)
+            )
+            o = fn(*call_args)
+            leaves = [x for x in jax.tree_util.tree_leaves(o)
+                      if jnp.issubdtype(x.dtype, jnp.floating)]
+            red = sum(jnp.sum(x).astype(jnp.float32) for x in leaves)
+            return acc + red, ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+        return acc
+
+    n2 = max(iters, 6)
+    per = chain_time_per_call(None, chain, n1=2, n2=n2, reps=2)
+    return per, out
 
 
 def bench_mips(num_users, num_items, d, k, quick=False, sweep=False):

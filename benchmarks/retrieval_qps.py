@@ -45,20 +45,28 @@ def main():
     ps = build_padded_pair_set(ab_u, ab_i, num_src=args.users)
     uids = jnp.arange(args.users, dtype=jnp.int32)
 
+    import functools
+
+    from gnn_recsys_tpu.utils.timing import chain_time_per_call
+
     for backend in ("xla", "pallas"):
-        run = jax.jit(
-            lambda u_, i_: get_recs(u_, i_, uids, args.k,
-                                    already_bought=ps, backend=backend)
-        )
-        jax.block_until_ready(run(ue, ie))  # compile
-        # Synced per-rep timing: async pipelined timing over-reports on
-        # remote transports; take the best of a few synced reps.
-        times = []
-        for _ in range(4):
-            t0 = time.perf_counter()
-            jax.block_until_ready(run(ue, ie))
-            times.append(time.perf_counter() - t0)
-        dt = min(times)
+        # Honest chained-scan slope timing (utils/timing.py):
+        # block_until_ready under-waits on tunneled devices and
+        # per-dispatch RPC latency swamps single-call timing.  The query
+        # table is perturbed by the carried reduction so XLA cannot hoist
+        # the loop-invariant body.
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def chain(n, backend=backend):
+            def body(acc, _):
+                recs = get_recs(
+                    ue + acc * jnp.float32(1e-30), ie, uids, args.k,
+                    already_bought=ps, backend=backend,
+                )
+                return acc + jnp.sum(recs).astype(jnp.float32), ()
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
+            return acc
+
+        dt = chain_time_per_call(None, chain, n1=1, n2=5, reps=2)
         qps = args.users / dt
         print(json.dumps({
             "metric": f"retrieval_qps_{backend}",
