@@ -44,9 +44,9 @@ def timeit(fn, *args, iters=20, warmup=3):
     )
 
     @functools.partial(jax.jit, static_argnames=("n",))
-    def chain(n):
+    def chain(n, *a):  # args as jit params, not captured 2GB constants
         def body(acc, _):
-            call_args = list(args)
+            call_args = list(a)
             call_args[first_float] = call_args[first_float] + (
                 acc * jnp.asarray(1e-30, call_args[first_float].dtype)
             )
@@ -59,7 +59,9 @@ def timeit(fn, *args, iters=20, warmup=3):
         return acc
 
     n2 = max(iters, 6)
-    per = chain_time_per_call(None, chain, n1=2, n2=n2, reps=2)
+    per = chain_time_per_call(
+        None, lambda n: chain(n, *args), n1=2, n2=n2, reps=2
+    )
     return per, out
 
 
@@ -176,15 +178,18 @@ def bench_gather_mean(n_src, batch, fanout, d, quick=False):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 
     # Serving shapes: catalog sizes spanning the synthetic bench (30k) up.
     bench_mips(1024, 30_000, 128, 10, quick=args.quick)
+    # Tile sweeps are opt-in: each tile config costs two chained-scan
+    # compiles, which is ~an hour over a tunneled device.
     if not args.quick:
-        bench_mips(4096, 100_000, 128, 10, sweep=True)
-        bench_mips(4096, 500_000, 128, 10, sweep=True)
+        bench_mips(4096, 100_000, 128, 10, sweep=args.sweep)
+        bench_mips(4096, 500_000, 128, 10, sweep=args.sweep)
 
     # Training shapes: level-1 frontier of a (8,4)-fanout tree at B=2048
     # positive edges is ~2048*2 dsts with fanout 8 -> B=4096, K=8; the
