@@ -91,12 +91,20 @@ def minibatch_config(
         fanouts = tuple([-1] * n_conv)
     else:  # 'partial' = fanout-1 sampler (reference sampling.py:158-159)
         fanouts = tuple([1] * n_conv)
+    # Full-neighbor sampling at depth >= 3 multiplies padded row widths
+    # per level: the pure tree forward's frontier grows as K^depth and a
+    # deep HP trial OOMs HBM (observed: f32[316,48,24,48,512] = 35.8 GB
+    # at n_layers=5 on a tiny graph).  The dedup'd block forward computes
+    # each unique node once per level (DGL-block semantics) and bounds
+    # every level by the node count, exactly like the reference's MFGs.
+    dedup = fixed.neighbor_sampler == "full" and n_conv >= 3
     return MinibatchConfig(
         edge_batch_size=fixed.edge_batch_size,
         fanouts=fanouts,
         neg_sample_size=hyper.neg_sample_size,
         neg_mode="shared_pool",
         neg_pool_size=neg_pool_size,
+        dedup=dedup,
         delta=hyper.delta,
         lr=hyper.lr,
         num_epochs=fixed.num_epochs,

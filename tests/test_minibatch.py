@@ -279,3 +279,25 @@ def test_dense_pool_mode_learns_and_masks():
         model, data.train_graph, g, feats, train_eids, None, cfg,
     )
     assert hist["train_loss"][-1] < hist["train_loss"][1]
+
+
+def test_full_sampler_deep_trials_use_dedup():
+    # Full-neighbor trees at depth >= 3 grow as K^depth and OOM HBM
+    # (observed 35.8 GB at n_layers=5); deep full-sampler trials must
+    # route through the dedup'd block forward (bounded per level by the
+    # node count).
+    from gnn_recsys_tpu.config import FixedParams, HyperParams
+    from gnn_recsys_tpu.trial import build_model, minibatch_config
+
+    import types
+
+    data = make_synthetic_data(num_users=30, num_items=20, seed=0)
+    gd = types.SimpleNamespace(graph=data.graph)
+    fixed = FixedParams(neighbor_sampler="full")
+    for n_layers, embed in ((3, True), (3, False), (4, True), (5, True)):
+        hyper = HyperParams(n_layers=n_layers, embedding_layer=embed)
+        model = build_model(gd, fixed, hyper)
+        cfg = minibatch_config(fixed, hyper, model)
+        expect_dedup = model.num_conv_layers >= 3
+        assert cfg.dedup == expect_dedup, (n_layers, embed, cfg.dedup)
+        assert cfg.fanouts == tuple([-1] * model.num_conv_layers)
