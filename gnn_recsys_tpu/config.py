@@ -108,6 +108,12 @@ class FixedParams:
     # levels on backward — trade ~1 extra forward for activation memory on
     # deep (n_layers 4-5) / wide-fanout models.
     remat_levels: bool = False
+    # Embedding inference for eval/serving: 'full_graph' = one jit'd
+    # layer-wise pass over the device-resident graph (exactly equal to the
+    # full-fanout sampled tree, O(L*E) total); 'node_batches' = the
+    # reference's node-loader shape for graphs whose layer-wise
+    # activations exceed HBM.
+    inference_mode: str = "full_graph"
 
     @property
     def train_etypes(self) -> Tuple[Tuple[str, str, str], ...]:

@@ -21,7 +21,7 @@ from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.ops.membership import PaddedPairSet, build_padded_pair_set
 from gnn_recsys_tpu.retrieval.recs import get_recs
 from gnn_recsys_tpu.train.checkpoint import load_run, model_kwargs_to_config
-from gnn_recsys_tpu.train.minibatch import compute_embeddings_minibatch
+from gnn_recsys_tpu.train.minibatch import infer_embeddings
 
 
 def fetch_uids(user_ids: Sequence, ctm_id_df: pd.DataFrame) -> np.ndarray:
@@ -66,6 +66,7 @@ def inference_ondemand(
     k: int = 10,
     remove_already_bought: bool = True,
     node_batch_size: int = 128,
+    inference_mode: str = "full_graph",
     use_popularity: bool = False,
     weight_popularity: float = 1.0,
     rebuild_dataframes: Optional[Dict] = None,
@@ -109,8 +110,8 @@ def inference_ondemand(
         user_node_ids = np.asarray(user_ids, dtype=np.int32)
 
     features = {nt: graph.ndata[nt]["features"] for nt in graph.ntypes}
-    h = compute_embeddings_minibatch(
-        model, params, graph, features,
+    h = infer_embeddings(
+        model, params, graph, features, mode=inference_mode,
         node_batch_size=node_batch_size, ntypes=("user", "item"),
     )
 

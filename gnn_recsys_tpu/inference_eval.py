@@ -19,7 +19,7 @@ from gnn_recsys_tpu.config import FixedParams, HyperParams
 from gnn_recsys_tpu.data.etl import GraphData
 from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
-from gnn_recsys_tpu.train.minibatch import compute_embeddings_minibatch
+from gnn_recsys_tpu.train.minibatch import infer_embeddings
 
 
 def inference_fn(
@@ -59,8 +59,8 @@ def inference_fn(
         nt: g.ndata[nt]["features"] for nt in g.ntypes
         if "features" in g.ndata[nt]
     }
-    h = compute_embeddings_minibatch(
-        model, params, g, features,
+    h = infer_embeddings(
+        model, params, g, features, mode=inf_fixed.inference_mode,
         node_batch_size=inf_fixed.node_batch_size, ntypes=("user", "item"),
     )
     already = (

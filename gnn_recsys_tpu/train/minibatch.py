@@ -119,6 +119,16 @@ class MinibatchConfig:
     metrics_every: int = 10  # reference: epoch % 10 == 1
     patience: int = 3
     seed: int = 11
+    # Embedding inference for the metrics cadence.  'full_graph' runs ONE
+    # jit'd layer-wise pass over the whole device-resident graph — exactly
+    # equal to the full-fanout sampled tree (tested in
+    # tests/test_minibatch.py) at O(L*E) cost instead of re-expanding a
+    # neighborhood tree per node chunk; it turns the eval pass from the
+    # dominant wall-clock cost of a quality run into a sub-second step.
+    # 'node_batches' keeps the reference's node-loader shape
+    # (compute_embeddings_minibatch) for graphs whose full layer-wise
+    # activations would not fit HBM.
+    inference_mode: str = "full_graph"
 
 
 class _EdgeStore:
@@ -455,6 +465,35 @@ def compute_embeddings_minibatch(
     return out
 
 
+def infer_embeddings(
+    model: ConvModel,
+    params,
+    graph: HeteroGraph,
+    features: Dict[str, jax.Array],
+    mode: str = "full_graph",
+    node_batch_size: int = 128,
+    ntypes: Optional[Tuple[str, ...]] = None,
+) -> Dict[str, jax.Array]:
+    """Embedding inference dispatcher shared by eval/serving call sites.
+
+    ``mode='full_graph'`` runs one jit'd layer-wise pass over the whole
+    device-resident graph — exactly equal to the full-fanout sampled tree
+    (equivalence is test-gated) at O(L*E) total cost; ``'node_batches'``
+    keeps the reference node-loader shape (src/train/run.py:311-349) for
+    graphs whose layer-wise activations exceed HBM.
+    """
+    if mode == "full_graph":
+        from gnn_recsys_tpu.train.full_batch import compute_embeddings
+
+        return compute_embeddings(model, params, graph, features)
+    if mode != "node_batches":
+        raise ValueError(f"unknown inference mode {mode!r}")
+    return compute_embeddings_minibatch(
+        model, params, graph, features,
+        node_batch_size=node_batch_size, ntypes=ntypes,
+    )
+
+
 def train_minibatch(
     model: ConvModel,
     train_graph: HeteroGraph,
@@ -722,9 +761,9 @@ def train_minibatch(
             and cfg.metrics_every
             and epoch % cfg.metrics_every == 1
         ):
-            h = compute_embeddings_minibatch(
+            h = infer_embeddings(
                 model, state.params, train_graph, features,
-                ntypes=("user", "item"),
+                mode=cfg.inference_mode, ntypes=("user", "item"),
             )
             precision, recall, coverage = get_metrics_at_k(
                 h["user"], h["item"], test_ground_truth, already_bought, cfg.k

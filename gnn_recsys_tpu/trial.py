@@ -31,7 +31,7 @@ from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
 from gnn_recsys_tpu.train.checkpoint import save_run
 from gnn_recsys_tpu.train.minibatch import (
     MinibatchConfig,
-    compute_embeddings_minibatch,
+    infer_embeddings,
     train_minibatch,
 )
 from gnn_recsys_tpu.utils.viz import plot_train_loss
@@ -184,8 +184,8 @@ def run_trial(
     # Test-time embeddings message-pass over the FULL graph, not the train
     # graph (reference nodeloader_test samples from valid_graph,
     # sampling.py:233-241).
-    h = compute_embeddings_minibatch(
-        model, state.params, g, features,
+    h = infer_embeddings(
+        model, state.params, g, features, mode=fixed.inference_mode,
         node_batch_size=fixed.node_batch_size, ntypes=("user", "item"),
     )
     already = (

@@ -90,6 +90,28 @@ def test_embedding_inference_matches_full_graph():
         )
 
 
+def test_infer_embeddings_modes_agree():
+    from gnn_recsys_tpu.train.minibatch import infer_embeddings
+
+    data, g, model, feats = _setup(num_users=40, num_items=25)
+    pairs = {ET_BUYS: (jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32))}
+    params = model.init(jax.random.PRNGKey(0), g, feats, pairs, pairs)
+    h_fg = infer_embeddings(model, params, g, feats, mode="full_graph")
+    h_nb = infer_embeddings(model, params, g, feats, mode="node_batches",
+                            node_batch_size=16, ntypes=("user", "item"))
+    for nt in ("user", "item"):
+        np.testing.assert_allclose(
+            np.asarray(h_nb[nt]), np.asarray(h_fg[nt]),
+            rtol=2e-4, atol=2e-5,
+        )
+    try:
+        infer_embeddings(model, params, g, feats, mode="bogus")
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("unknown mode must raise")
+
+
 def test_per_edge_negative_mode_runs():
     data, g, model, feats = _setup(num_users=40, num_items=25)
     train_eids = {ET_BUYS: np.arange(g.num_edges(ET_BUYS))}
