@@ -79,7 +79,9 @@ def format_dfs(
     days_of_purchases: int = MAX_DAYS,
     days_of_clicks: int = MAX_DAYS,
     lifespan_of_items: int = MAX_DAYS,
+    report_model_coverage: bool = False,
     columns: Optional[ColumnConfig] = None,
+    print_fn=print,
 ):
     """Time-window + subsampling preprocessing (src/builder.py:12-179)."""
     c = columns or ColumnConfig()
@@ -158,6 +160,23 @@ def format_dfs(
         ]
 
     sport_sportg_interaction = _as_df(sport_sportg)
+
+    if report_model_coverage:
+        # How many test users the chosen time-window parameters leave
+        # coverable (reference src/builder.py:167-176): users with no train
+        # interactions at all, and of those, users with no sport edges
+        # either (truly cold — the model cannot embed them from data).
+        train_users = set(user_item_train[c.ctm_id].unique())
+        test_users = user_item_test[c.ctm_id].unique()
+        sport_users = set(user_sport_interaction[c.ctm_id].unique())
+        no_interactions = [u for u in test_users if u not in train_users]
+        print_fn(
+            f"There are {len(no_interactions)} users with no interactions"
+        )
+        covered = train_users | sport_users
+        cold = [u for u in test_users if u not in covered]
+        print_fn(f"and {len(cold)} with also no sports associated")
+        print_fn(f"out of {len(test_users)}")
 
     return (
         user_item_train,
@@ -473,6 +492,7 @@ class GraphData:
             days_of_purchases=fp.days_of_purchases,
             days_of_clicks=fp.days_of_clicks,
             lifespan_of_items=fp.lifespan_of_items,
+            report_model_coverage=fp.report_model_coverage,
             columns=c,
         )
 

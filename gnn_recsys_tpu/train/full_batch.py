@@ -59,34 +59,41 @@ def init_model(
     features: Dict[str, jax.Array],
     seed: int = 0,
 ) -> Dict:
-    """Initialize parameters via a tiny sampled-tree pass.
+    """Initialize parameters for EVERY (layer, etype) pair.
 
-    Parameter shapes are graph-size independent, so init runs the sampled
-    minibatch forward on a single dummy edge (fanout 1) instead of a full
-    layer-wise pass over the whole graph — O(1) instead of O(|E|).
+    Traces the full ``__call__`` (embed -> all conv layers over all etypes
+    -> predictor) on a minimal schema-complete dummy graph — one node per
+    ntype, one edge per etype — so params exist for every destination type
+    at every layer.  A trained model must be able to embed ALL node types
+    (reference ``src/train/run.py:311-349`` iterates every ntype), so
+    seeding only user/item trees (the previous strategy) left the top
+    layer's sport-destination ConvLayers uncreated and full-graph inference
+    crashed on ``include_sport=True`` graphs.  Param shapes are
+    graph-size independent, so this stays O(#etypes), not O(|E|).
     """
-    et_pairs = {
+    from gnn_recsys_tpu.graph.hetero import build_hetero_graph
+
+    etypes = tuple(model.canonical_etypes)
+    ntypes = model.ntypes
+    zero = np.zeros(1, np.int32)
+    tiny = build_hetero_graph(
+        schema={et: (zero, zero) for et in etypes},
+        num_nodes_dict={nt: 1 for nt in ntypes},
+    )
+    feats = {
+        nt: jnp.zeros((1, features[nt].shape[-1]), features[nt].dtype)
+        for nt in ntypes
+        if nt in features
+    }
+    pairs = {
         et: (jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32))
-        for et in graph.canonical_etypes
+        for et in etypes
         if et[0] == "user" and et[2] == "item"
     }
-    pool = jnp.zeros((2,), jnp.int32)
-    neg_idx = {et: jnp.zeros((1, 1), jnp.int32) for et in et_pairs}
-    fanouts = tuple([1] * model.num_conv_layers)
-
-    def init_fn(mdl):
-        return mdl.minibatch_forward(
-            graph,
-            features,
-            et_pairs,
-            pool,
-            neg_idx,
-            fanouts,
-            jax.random.PRNGKey(0),
-            deterministic=True,
-        )
-
-    return model.init(jax.random.PRNGKey(seed), method=init_fn)
+    return model.init(
+        jax.random.PRNGKey(seed), tiny, feats, pairs, pairs,
+        deterministic=True,
+    )
 
 
 def make_full_batch_step(

@@ -249,6 +249,7 @@ def run_trial(
     if check_embedding:
         # Qualitative evaluation (reference main.py:314-400): example recs,
         # similar sports, demographic coverage.
+        from gnn_recsys_tpu.config import ColumnConfig
         from gnn_recsys_tpu.evaluation.explore import (
             check_coverage,
             explore_recs,
@@ -257,6 +258,8 @@ def run_trial(
         from gnn_recsys_tpu.ops.membership import build_padded_pair_set
         from gnn_recsys_tpu.retrieval.recs import get_recs
         import jax.numpy as jnp
+
+        item_col = ColumnConfig().item_id(fixed.item_id_type)
 
         user_ids = np.unique(np.asarray(gd.ground_truth_test[0]))[
             : fixed.num_choices * 4
@@ -279,16 +282,16 @@ def run_trial(
                 recs_dict, gd.user_item_train_grouped, gd.item_feat_df,
                 gd.pdt_id, gd.ctm_id, ground_truth=gt_dict,
                 num_choices=fixed.num_choices,
-                item_id_type=None if fixed.item_id_type == SPECIFIC else None,
+                item_id_type=item_col,
             )
             if gd.item_feat_df is not None:
                 check_coverage(gd.user_item_train_grouped, gd.item_feat_df,
-                               gd.pdt_id, recs_dict)
+                               gd.pdt_id, recs_dict, item_id_type=item_col)
         if "sport" in g.ntypes and gd.sport_feat_df is not None and len(
             gd.sport_feat_df
         ):
-            h_sport = compute_embeddings_minibatch(
-                model, state.params, g, features,
+            h_sport = infer_embeddings(
+                model, state.params, g, features, mode=fixed.inference_mode,
                 node_batch_size=fixed.node_batch_size, ntypes=("sport",),
             )["sport"]
             explore_sports(np.asarray(h_sport), gd.sport_feat_df, gd.spt_id,

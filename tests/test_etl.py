@@ -237,6 +237,34 @@ def test_format_dfs_time_windows():
     assert len(clicks) == 2
 
 
+def test_format_dfs_report_model_coverage():
+    """report_model_coverage prints how many test users are uncoverable
+    under the chosen windows (reference src/builder.py:167-176).
+
+    Computed AFTER the test-user filters, like the reference: a buys-only
+    time window can leave a test user with zero train interactions (u3's
+    only purchase is old; their click survives, so the test filter keeps
+    them — on a clicks window they would be orphaned instead).
+    """
+    train, test, itf, uf = toy_data()
+    # u9 appears only in test; the remove==0 filter drops them pre-report.
+    test = pd.concat([test, interactions_df(
+        [("u9", "A", 1, "2021-01-09", 10)])], ignore_index=True)
+    user_sport = pd.DataFrame({C.ctm_id: ["u2"], C.spt_id: ["s0"]})
+    lines = []
+    format_dfs(
+        train, test, pd.DataFrame({C.specific_item_id: [], C.spt_id: []}),
+        user_sport,
+        pd.DataFrame({C.sports_id: [], C.sportsgroup_id: [], C.spt_id: []}),
+        itf, uf, pd.DataFrame({C.spt_id: []}), pd.DataFrame({C.spt_id: []}),
+        report_model_coverage=True,
+        print_fn=lines.append,
+    )
+    assert lines[0] == "There are 0 users with no interactions"
+    assert lines[1] == "and 0 with also no sports associated"
+    assert lines[2] == "out of 2"  # u1, u2 survive; u9 filtered out
+
+
 def test_train_valid_split_semantics():
     from gnn_recsys_tpu.utils.synthetic import make_synthetic_data
 

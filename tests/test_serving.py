@@ -284,11 +284,16 @@ def test_run_trial_with_sports(tmp_path):
         C.spt_id: [f"s{i}" for i in range(4)] + ["g0", "g1"],
         **{f"h{j}": [1 if i == j else 0 for i in range(6)] for j in range(6)},
     })
-    fixed = FixedParams(include_sport=True, num_epochs=2, edge_batch_size=128)
+    fixed = FixedParams(include_sport=True, num_epochs=2, edge_batch_size=128,
+                        inference_mode="full_graph")
     hyper = HyperParams(embed_dim="small", neg_sample_size=8,
                         aggregator_type="mean", dropout=0.0,
                         embedding_layer=True, use_recency=True,
                         popularity_importance="small")
+    save_dir = os.path.join(tmp_path, "sports_run")
+    # check_embedding=True exercises explore_recs / explore_sports /
+    # check_coverage on the trained sports model (reference main.py:314-400);
+    # save_threshold=-1 forces a save so inference_ondemand can run below.
     result = run_trial(
         fixed, hyper,
         dataframes=dict(train=tr, test=te, item_feat=itf, user_feat=uf,
@@ -296,5 +301,19 @@ def test_run_trial_with_sports(tmp_path):
                         sport_sportg=sport_sportg, sport_feat=sport_feat,
                         sport_onehot=sport_onehot),
         neg_pool_size=16,
+        save_dir=save_dir,
+        save_threshold=-1.0,
+        check_embedding=True,
     )
     assert np.isfinite(result.recall)
+    assert result.saved_to == save_dir
+
+    # Full 10-etype schema through on-demand inference with full_graph
+    # embedding (reference main_inference.py flow on a sports graph).
+    from gnn_recsys_tpu.inference import inference_ondemand
+
+    known = tr[C.ctm_id].unique()[:3]
+    recs = inference_ondemand(save_dir, list(known), k=5,
+                              inference_mode="full_graph")
+    assert set(recs) == set(known)
+    assert all(len(v) == 5 for v in recs.values())
