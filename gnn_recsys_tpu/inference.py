@@ -125,6 +125,8 @@ def inference_ondemand(
     if use_popularity and "popularity" in graph.ndata.get("item", {}):
         popularity = graph.ndata["item"]["popularity"].reshape(-1)
 
+    from gnn_recsys_tpu.retrieval.recs import model_score_fn
+
     recs = np.asarray(
         get_recs(
             h["user"],
@@ -133,6 +135,7 @@ def inference_ondemand(
             k,
             already_bought=already,
             remove_already_bought=remove_already_bought,
+            score_fn=model_score_fn(model.pred, params),
             popularity=popularity,
             weight_popularity=weight_popularity,
         )

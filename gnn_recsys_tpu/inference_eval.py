@@ -74,8 +74,11 @@ def inference_fn(
     popularity = None
     if hyper.use_popularity and "popularity" in g.ndata.get("item", {}):
         popularity = g.ndata["item"]["popularity"].reshape(-1)
+    from gnn_recsys_tpu.retrieval.recs import model_score_fn
+
     return get_metrics_at_k(
         h["user"], h["item"], gd.ground_truth_test, already,
-        k or inf_fixed.k, popularity=popularity,
+        k or inf_fixed.k, score_fn=model_score_fn(model.pred, params),
+        popularity=popularity,
         weight_popularity=hyper.weight_popularity,
     )

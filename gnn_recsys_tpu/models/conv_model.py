@@ -9,8 +9,8 @@ Execution model differs from DGL: the graph is a static-shape pytree
 (:class:`~gnn_recsys_tpu.graph.hetero.HeteroGraph`), one ``propagate`` call
 runs a full layer-wise pass over all nodes (the "full neighbor" mode of the
 reference, ``src/sampling.py:156-157``), and everything jit-compiles to XLA.
-A sampled-tree minibatch path shares the same layers (see
-``gnn_recsys_tpu/train/sampled.py``).
+A sampled-tree minibatch path shares the same layers (``sampled_repr`` /
+``minibatch_forward`` below, driven by ``gnn_recsys_tpu/train/minibatch.py``).
 
 Layer count semantics match the reference exactly: ``n_layers`` counts the
 embedding layer when present, so there are ``n_layers - 1`` conv layers when

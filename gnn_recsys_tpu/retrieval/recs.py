@@ -43,6 +43,68 @@ def cosine_score_fn(u_chunk: jax.Array, item_emb: jax.Array) -> jax.Array:
     )
 
 
+def make_mlp_score_fn(
+    params, item_tile: int = 512, name: str = "pred_layer"
+) -> ScoreFn:
+    """Full-catalog scoring with the trained MLP head (``pred='nn'``).
+
+    The reference scores every (user, item) pair with the MLP when
+    ``pred='nn'`` (``src/metrics.py:61-63``).  A naive port materializes
+    ``[C, I, 2D]`` concat inputs; instead the first Dense on
+    ``concat(u, i)`` factorizes exactly: ``concat(u, i) @ W1 =
+    u @ W1[:D] + i @ W1[D:]``, so the item half is one ``[I, 128]`` matmul
+    shared across every user chunk, and only the cheap ``[C, T, 128]``
+    broadcast-add + 128->32->1 towers run per item tile.
+
+    params: the model's flax variables (``{'params': ...}`` or the inner
+        dict); must contain ``pred_layer`` (i.e. the model has
+        ``pred='nn'``).
+    Returns a ``ScoreFn`` usable with :func:`get_recs` /
+    ``get_metrics_at_k`` (XLA backend).
+    """
+    p = params.get("params", params)[name]
+    w1 = jnp.asarray(p["hidden_1"]["kernel"])
+    b1 = jnp.asarray(p["hidden_1"]["bias"])
+    w2 = jnp.asarray(p["hidden_2"]["kernel"])
+    b2 = jnp.asarray(p["hidden_2"]["bias"])
+    w3 = jnp.asarray(p["output"]["kernel"])
+    b3 = jnp.asarray(p["output"]["bias"])
+
+    def score_fn(u_chunk: jax.Array, item_emb: jax.Array) -> jax.Array:
+        d = u_chunk.shape[-1]
+        uh = jnp.matmul(u_chunk, w1[:d]) + b1          # [C, 128]
+        ih = jnp.matmul(item_emb, w1[d:])              # [I, 128]
+        num_items = ih.shape[0]
+        pad = (-num_items) % item_tile
+        ih_p = jnp.pad(ih, ((0, pad), (0, 0)))
+        tiles = ih_p.reshape(-1, item_tile, ih.shape[-1])
+
+        def one_tile(tile: jax.Array) -> jax.Array:
+            h = jax.nn.relu(uh[:, None, :] + tile[None, :, :])  # [C, T, 128]
+            h = jax.nn.relu(jnp.matmul(h, w2) + b2)             # [C, T, 32]
+            s = jax.nn.sigmoid(jnp.matmul(h, w3) + b3)          # [C, T, 1]
+            return s[..., 0]
+
+        scores = jax.lax.map(one_tile, tiles)           # [nt, C, T]
+        scores = jnp.moveaxis(scores, 0, 1).reshape(u_chunk.shape[0], -1)
+        return scores[:, :num_items].astype(jnp.float32)
+
+    return score_fn
+
+
+def model_score_fn(pred: str, params, item_tile: int = 512):
+    """Retrieval score function matching the model's trained predictor.
+
+    ``None`` for ``pred='cos'`` (the default cosine path); the factorized
+    MLP head for ``pred='nn'`` — so retrieval scores with the SAME function
+    training optimized (reference ``src/metrics.py:61-63``), instead of
+    silently falling back to cosine.
+    """
+    if pred == "nn":
+        return make_mlp_score_fn(params, item_tile=item_tile)
+    return None
+
+
 def get_recs(
     user_emb: jax.Array,
     item_emb: jax.Array,

@@ -33,6 +33,7 @@ from gnn_recsys_tpu.models.loss import max_margin_loss
 from gnn_recsys_tpu.ops.membership import build_padded_pair_set, pair_set_contains
 from gnn_recsys_tpu.ops.negative import uniform_negative_dst
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
+from gnn_recsys_tpu.retrieval.recs import model_score_fn
 
 
 @dataclasses.dataclass
@@ -232,6 +233,7 @@ def train_full_batch(
                 test_ground_truth,
                 already_bought,
                 cfg.k,
+                score_fn=model_score_fn(model.pred, state.params),
             )
             history["recall"].append(recall)
             history["precision"].append(precision)

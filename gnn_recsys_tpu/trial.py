@@ -28,6 +28,7 @@ from gnn_recsys_tpu.data.etl import GraphData
 from gnn_recsys_tpu.data.split import TrainValSplit, train_valid_split
 from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
+from gnn_recsys_tpu.retrieval.recs import model_score_fn
 from gnn_recsys_tpu.train.checkpoint import save_run
 from gnn_recsys_tpu.train.minibatch import (
     MinibatchConfig,
@@ -195,14 +196,16 @@ def run_trial(
     popularity = None
     if hyper.use_popularity and "popularity" in g.ndata.get("item", {}):
         popularity = g.ndata["item"]["popularity"].reshape(-1)
+    score_fn = model_score_fn(model.pred, state.params)
     precision, recall, coverage = get_metrics_at_k(
         h["user"], h["item"], gd.ground_truth_test, already, fixed.k,
+        score_fn=score_fn,
         popularity=popularity, weight_popularity=hyper.weight_popularity,
     )
     if len(gd.ground_truth_purchase_test[0]):
         _, recall_purchase, _ = get_metrics_at_k(
             h["user"], h["item"], gd.ground_truth_purchase_test, already,
-            fixed.k, popularity=popularity,
+            fixed.k, score_fn=score_fn, popularity=popularity,
             weight_popularity=hyper.weight_popularity,
         )
     else:
@@ -271,7 +274,8 @@ def run_trial(
             recs_arr = np.asarray(
                 get_recs(h["user"], h["item"],
                          jnp.asarray(user_ids, jnp.int32), fixed.k,
-                         already_bought=ab_set)
+                         already_bought=ab_set,
+                         score_fn=model_score_fn(model.pred, state.params))
             )
             recs_dict = {int(u): row.tolist()
                          for u, row in zip(user_ids, recs_arr)}

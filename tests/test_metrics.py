@@ -92,6 +92,50 @@ def test_get_recs_matches_oracle():
     assert_recs_equivalent(got, want, scores, user_ids, already)
 
 
+def test_mlp_score_fn_matches_pairwise_oracle():
+    """pred='nn' retrieval: the factorized MLP score_fn must equal scoring
+    every (user, item) pair through the trained head (reference
+    src/metrics.py:61-63), and get_recs must rank by those scores."""
+    import jax
+    from gnn_recsys_tpu.models.layers import PredictingLayer
+    from gnn_recsys_tpu.retrieval.recs import make_mlp_score_fn, model_score_fn
+
+    rng = np.random.default_rng(7)
+    d, nu, ni, k = 8, 20, 33, 5
+    ue = rng.normal(size=(nu, d)).astype(np.float32)
+    ie = rng.normal(size=(ni, d)).astype(np.float32)
+    layer = PredictingLayer()
+    params = layer.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 2 * d), jnp.float32))
+    # Brute force: every pair through the head itself.
+    pairs = jnp.concatenate(
+        [jnp.repeat(jnp.asarray(ue), ni, axis=0),
+         jnp.tile(jnp.asarray(ie), (nu, 1))], axis=-1,
+    )
+    want = np.asarray(layer.apply(params, pairs)).reshape(nu, ni)
+
+    wrapped = {"params": {"pred_layer": params["params"]}}
+    score_fn = make_mlp_score_fn(wrapped, item_tile=16)
+    got = np.asarray(score_fn(jnp.asarray(ue), jnp.asarray(ie)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+    # get_recs with the MLP score_fn == argsort of the oracle scores.
+    user_ids = np.arange(nu, dtype=np.int32)
+    recs = np.asarray(
+        get_recs(jnp.asarray(ue), jnp.asarray(ie),
+                 jnp.asarray(user_ids), k, remove_already_bought=False,
+                 score_fn=score_fn, chunk_size=8)
+    )
+    scores = {u: want[u] for u in user_ids}
+    want_recs = {u: np.argsort(-want[u], kind="stable")[:k].tolist()
+                 for u in user_ids}
+    assert_recs_equivalent(recs, want_recs, scores, user_ids, {}, tol=1e-5)
+
+    # dispatch: cos -> None, nn -> callable
+    assert model_score_fn("cos", wrapped) is None
+    assert callable(model_score_fn("nn", wrapped))
+
+
 def test_get_recs_popularity_boost():
     ue, ie, gt_u, gt_i, ab_u, ab_i, k = make_case(seed=3)
     pop = np.random.default_rng(4).uniform(0, 0.1, ie.shape[0]).astype(np.float32)
@@ -140,6 +184,54 @@ def test_recs_to_metrics_duplicate_gt_pairs():
     assert abs(r - 2 / 3) < 1e-6
     assert abs(p - 1 / 4) < 1e-6
     assert abs(c - 4 / 10) < 1e-6
+
+
+def test_hub_degree_overfetch_stays_exact():
+    """Power-law stress: one hub user owns most of the catalog.  The hub
+    inflates PaddedPairSet.max_row (rows are max-out-degree wide) and the
+    retrieval over-fetch (k + max_row), but results must stay EXACT for
+    every user — hub included (only k unbought items remain for it)."""
+    rng = np.random.default_rng(11)
+    nu, ni, k, d = 50, 40, 5, 8
+    ue = rng.normal(size=(nu, d)).astype(np.float32)
+    ie = rng.normal(size=(ni, d)).astype(np.float32)
+    # hub user 0 bought all but k+2 items; everyone else bought 0-2 items.
+    hub_items = np.arange(ni - (k + 2), dtype=np.int32)
+    ab_u = [np.zeros(len(hub_items), np.int32)]
+    ab_i = [hub_items]
+    for u in range(1, nu):
+        deg = int(rng.integers(0, 3))
+        ab_u.append(np.full(deg, u, np.int32))
+        ab_i.append(rng.choice(ni, size=deg, replace=False).astype(np.int32))
+    ab_u, ab_i = np.concatenate(ab_u), np.concatenate(ab_i)
+
+    table = build_padded_pair_set(ab_u, ab_i, num_src=nu)
+    # hub sets the row width (packer may round up for lane alignment)
+    assert table.max_row >= len(hub_items)
+
+    user_ids = np.arange(nu, dtype=np.int32)
+    got = np.asarray(
+        get_recs(jnp.asarray(ue), jnp.asarray(ie),
+                 jnp.asarray(user_ids), k, already_bought=table,
+                 chunk_size=16)
+    )
+    already = defaultdict(list)
+    for u, i in zip(ab_u.tolist(), ab_i.tolist()):
+        already[u].append(i)
+    want, scores = oracle_recs(ue, ie, user_ids, k, already)
+    assert_recs_equivalent(got, want, scores, user_ids, already)
+
+    # cap= bounds memory: width clamps, capped rows lose hub exactness
+    # by design but everyone else keeps exact filtering.
+    capped = build_padded_pair_set(ab_u, ab_i, num_src=nu, cap=4)
+    assert 4 <= capped.max_row < table.max_row  # width bounded, not hub-wide
+    got_c = np.asarray(
+        get_recs(jnp.asarray(ue), jnp.asarray(ie),
+                 jnp.asarray(user_ids), k, already_bought=capped,
+                 chunk_size=16)
+    )
+    for row, u in enumerate(user_ids[1:], start=1):
+        assert got_c[row].tolist() == got[row].tolist()
 
 
 def test_mrr():
