@@ -52,6 +52,7 @@ from gnn_recsys_tpu.ops.membership import (
     pair_set_contains,
 )
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
+from gnn_recsys_tpu.retrieval.recs import model_score_fn
 from gnn_recsys_tpu.train.full_batch import TrainState, init_model
 
 # Reference reverse-etype names (src/utils_data.py:96-99 reverse map and the
@@ -316,6 +317,7 @@ def make_epoch_fns(
     with_exclusion: bool,
     has_reverse: Dict[CanonicalEtype, bool],
     counts: Dict[CanonicalEtype, int],
+    mesh=None,
 ) -> Tuple[Callable, Callable]:
     """Device-resident epochs in bounded scan chunks.
 
@@ -340,7 +342,21 @@ def make_epoch_fns(
         model, cfg, train_etypes, with_update=with_update,
         with_exclusion=with_exclusion, has_reverse=has_reverse, jit=False,
     )
-    per_et, _ = _per_etype_batch_sizes(counts, cfg.edge_batch_size)
+    # Under a mesh the per-edge batch axis is sharded over 'data': slice
+    # widths must divide the axis extent, and a sharding constraint on the
+    # sliced batch tells GSPMD to distribute the sampled-tree work (the
+    # rest of the step program is inferred from input placements — grads
+    # all-reduce over 'data', row-sharded feature gathers become
+    # collective lookups over 'model').
+    data_extent = int(mesh.shape["data"]) if mesh is not None else 1
+    per_et, _ = _per_etype_batch_sizes(
+        counts, cfg.edge_batch_size, round_to=data_extent
+    )
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
 
     @jax.jit
     def perm_fn(eids, rng):
@@ -374,6 +390,11 @@ def make_epoch_fns(
                 }
                 if with_exclusion:
                     d["eids"] = batch_eids
+                if batch_sharding is not None:
+                    d = {
+                        k: jax.lax.with_sharding_constraint(v, batch_sharding)
+                        for k, v in d.items()
+                    }
                 batch[et] = d
             state, loss = step(
                 state, graph, features, batch, edge_tables, sub
@@ -510,6 +531,7 @@ def train_minibatch(
     host_edges: Optional[Dict] = None,
     profile_logdir: Optional[str] = None,
     mesh=None,
+    row_shard_ntypes: Tuple[str, ...] = ("item",),
     start_epoch: int = 0,
 ):
     """Run the reference training regime end to end. Returns (state, history).
@@ -540,7 +562,10 @@ def train_minibatch(
         for et in train_etypes
     }
     valid_etypes = tuple(valid_eids.keys()) if valid_eids else ()
-    host_loop = not (cfg.device_epoch and mesh is None)
+    # device_epoch runs under a mesh too: batches are sliced inside the
+    # scan and constrained to the 'data' axis, so multi-chip training keeps
+    # the few-dispatches-per-epoch shape instead of per-step host slicing.
+    host_loop = not cfg.device_epoch
     if host_loop:
         train_step = make_minibatch_step(
             model, cfg, train_etypes, with_update=True,
@@ -600,9 +625,15 @@ def train_minibatch(
         )
 
         data_extent = mesh.shape["data"]
+        # Row-shard the selected feature tables over the 'model' axis when
+        # present (embedding-table parallelism: GSPMD turns the tree's
+        # feature gathers into collective row lookups — the BASELINE
+        # north-star pattern); everything else replicated.
         state, train_graph, features, edge_tables = shard_inputs(
             mesh, state, train_graph, features, edge_tables,
-            row_shard_ntypes=(),
+            row_shard_ntypes=(
+                row_shard_ntypes if "model" in mesh.shape else ()
+            ),
         )
 
     # Fully device-resident epochs (one dispatch per epoch) when no mesh
@@ -622,40 +653,49 @@ def train_minibatch(
         }
 
     if use_device_epoch:
+        def _repl(tree):
+            if mesh is None:
+                return tree
+            from gnn_recsys_tpu.parallel.sharded import replicated
+
+            return jax.tree.map(
+                lambda x: jax.device_put(x, replicated(mesh)), tree
+            )
+
         train_counts = {et: len(train_eids[et]) for et in train_etypes}
         train_per_et, train_nb = _per_etype_batch_sizes(
-            train_counts, cfg.edge_batch_size
+            train_counts, cfg.edge_batch_size, round_to=data_extent
         )
         smoke_nb = min(10, train_nb)  # epoch-0 smoke pass (run.py:136-142)
         train_perm_fn, train_chunk_fn = make_epoch_fns(
             model, cfg, train_etypes, with_update=True,
             with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
-            counts=train_counts,
+            counts=train_counts, mesh=mesh,
         )
         smoke_perm_fn, smoke_chunk_fn = make_epoch_fns(
             model, cfg, train_etypes, with_update=False,
             with_exclusion=cfg.exclude_batch_edges, has_reverse=has_reverse,
-            counts=train_counts,
+            counts=train_counts, mesh=mesh,
         )
-        train_store_dev = _dev_store(train_graph, train_etypes)
-        train_eids_dev = {
+        train_store_dev = _repl(_dev_store(train_graph, train_etypes))
+        train_eids_dev = _repl({
             et: jnp.asarray(train_eids[et], jnp.int32) for et in train_etypes
-        }
+        })
         if valid_eids:
             valid_counts = {et: len(valid_eids[et]) for et in valid_etypes}
             valid_per_et, valid_nb = _per_etype_batch_sizes(
-                valid_counts, cfg.edge_batch_size
+                valid_counts, cfg.edge_batch_size, round_to=data_extent
             )
             valid_perm_fn, valid_chunk_fn = make_epoch_fns(
                 model, cfg, valid_etypes, with_update=False,
                 with_exclusion=False, has_reverse=has_reverse,
-                counts=valid_counts,
+                counts=valid_counts, mesh=mesh,
             )
-            valid_store_dev = _dev_store(full_graph, valid_etypes)
-            valid_eids_dev = {
+            valid_store_dev = _repl(_dev_store(full_graph, valid_etypes))
+            valid_eids_dev = _repl({
                 et: jnp.asarray(valid_eids[et], jnp.int32)
                 for et in valid_etypes
-            }
+            })
 
     # Per-epoch RNG derivation (resume-exact): tag 0 = train stream,
     # tag 1 = valid stream; host batch permutations get a per-epoch
@@ -765,8 +805,10 @@ def train_minibatch(
                 model, state.params, train_graph, features,
                 mode=cfg.inference_mode, ntypes=("user", "item"),
             )
+            score_fn = model_score_fn(model.pred, state.params)
             precision, recall, coverage = get_metrics_at_k(
-                h["user"], h["item"], test_ground_truth, already_bought, cfg.k
+                h["user"], h["item"], test_ground_truth, already_bought,
+                cfg.k, score_fn=score_fn,
             )
             history["recall"].append(recall)
             history["precision"].append(precision)
@@ -779,7 +821,7 @@ def train_minibatch(
             ):
                 _, sub_recall, _ = get_metrics_at_k(
                     h["user"], h["item"], subtrain_ground_truth,
-                    already_bought, cfg.k,
+                    already_bought, cfg.k, score_fn=score_fn,
                 )
                 history["subtrain_recall"].append(sub_recall)
             if verbose:

@@ -208,3 +208,35 @@ def test_train_minibatch_with_mesh(world):
                               mesh=mesh)
     assert np.isfinite(hist["train_loss"]).all()
     assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5
+
+
+def test_train_minibatch_mesh_row_sharded_matches_replicated(world):
+    """PRODUCTION table parallelism: device-epoch training on a 2D
+    ('data','model') mesh with the item feature table row-sharded over
+    'model' must produce the same training run as fully-replicated tables
+    — sharding changes placement/collectives, never the math."""
+    from gnn_recsys_tpu.train.minibatch import train_minibatch
+
+    data, g, model, feats, state, cfg, etypes, batch, tables = world
+    train_eids = {et: np.arange(g.num_edges(et)) for et in etypes}
+    mesh = make_mesh(8)  # (4, 2) data x model
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, num_epochs=3, metrics_every=0,
+                               patience=100, device_epoch=True)
+
+    s_sh, hist_sh = train_minibatch(
+        model, g, g, feats, train_eids, None, cfg2, mesh=mesh,
+        row_shard_ntypes=("item",),
+    )
+    s_re, hist_re = train_minibatch(
+        model, g, g, feats, train_eids, None, cfg2, mesh=mesh,
+        row_shard_ntypes=(),
+    )
+    np.testing.assert_allclose(
+        hist_sh["train_loss"], hist_re["train_loss"], rtol=1e-4, atol=1e-6
+    )
+    for a, b in zip(jax.tree.leaves(s_sh.params),
+                    jax.tree.leaves(s_re.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    assert hist_sh["train_loss"][-1] < hist_sh["train_loss"][0] * 1.5
