@@ -22,20 +22,30 @@ def initialize_multihost(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ) -> None:
-    """Initialize the multi-host runtime (no-op if already initialized
-    or single-process)."""
+    """Initialize the multi-host runtime.
+
+    With no arguments this is best-effort (auto-discovery on Cloud TPU;
+    silently a no-op in single-process environments).  With EXPLICIT
+    coordinator/process arguments a failure raises — a silently
+    un-initialized 2-process run would train two divergent models.
+    Already-initialized runtimes are a no-op either way.
+    """
+    explicit = coordinator_address is not None or num_processes is not None
     try:
-        if coordinator_address is None and num_processes is None:
-            jax.distributed.initialize()
-        else:
+        if explicit:
             jax.distributed.initialize(
                 coordinator_address=coordinator_address,
                 num_processes=num_processes,
                 process_id=process_id,
             )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process environment
-        pass
+        else:
+            jax.distributed.initialize()
+    except (RuntimeError, ValueError) as e:
+        if "already initialized" in str(e).lower():
+            return
+        if explicit:
+            raise
+        # single-process / non-cluster environment: best-effort no-op
 
 
 def global_mesh(axis_names=("data", "model"), data_axis: Optional[int] = None):
@@ -44,3 +54,27 @@ def global_mesh(axis_names=("data", "model"), data_axis: Optional[int] = None):
 
     return make_mesh(len(jax.devices()), data_axis=data_axis,
                      axis_names=axis_names)
+
+
+def global_put(mesh, tree, spec=None):
+    """Build GLOBAL multi-host jax.Arrays from per-host-identical data.
+
+    In a multi-process runtime plain ``device_put`` only addresses local
+    devices; GSPMD steps need arrays spanning the global mesh.  Every
+    process calls this with the SAME host values (and the same ``spec``)
+    and each materializes only its addressable shards.
+
+    spec: a ``PartitionSpec`` applied to every leaf (default: replicated).
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, spec if spec is not None else PartitionSpec())
+
+    def put(x):
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx: arr[idx]
+        )
+
+    return jax.tree.map(put, tree)
