@@ -1,0 +1,94 @@
+"""True parity gate (SURVEY §4 / VERDICT r1 #5): train THIS framework and
+the faithful torch reference stack on the SAME synthetic dataset with the
+same hyperparameters and assert recall@10 parity within run variance."""
+
+import numpy as np
+
+from gnn_recsys_tpu.models.conv_model import ConvModel
+from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
+from gnn_recsys_tpu.train.minibatch import (
+    MinibatchConfig,
+    infer_embeddings,
+    train_minibatch,
+)
+from gnn_recsys_tpu.utils.synthetic import make_synthetic_data
+
+ET = ("user", "buys", "item")
+
+HIDDEN, OUT, K = 32, 16, 10
+FANOUTS = (4, 4)
+NEG_S, NEG_POOL, DELTA, LR = 8, 32, 0.266, 3e-3
+BATCH = 128
+
+
+def _world(seed=0):
+    data = make_synthetic_data(
+        num_users=150, num_items=60, num_groups=4, interactions_per_user=10,
+        test_per_user=3, feat_dim=8, with_clicks=True, seed=seed,
+    )
+    g = data.graph
+    feats_np = {nt: np.array(g.ndata[nt]["features"]) for nt in g.ntypes}
+    nbr = {et: np.array(g.rels[et].nbr) for et in g.canonical_etypes}
+    mask = {et: np.array(g.rels[et].nbr_mask) for et in g.canonical_etypes}
+    already = data.train_pairs[ET]
+    return data, g, feats_np, nbr, mask, already
+
+
+def test_recall_parity_with_torch_reference():
+    from benchmarks.torch_reference import train_torch_reference
+
+    data, g, feats_np, nbr, mask, already = _world(seed=1)
+
+    torch_recall, torch_losses = train_torch_reference(
+        feats_np, nbr, mask, data.train_pairs, data.test_ground_truth,
+        already, fanouts=FANOUTS, hidden=HIDDEN, out_dim=OUT,
+        batch_per_etype=BATCH // 2, neg_sample_size=NEG_S,
+        neg_pool_size=NEG_POOL, delta=DELTA, epochs=8, lr=LR, k=K, seed=0,
+    )
+    assert torch_losses[-1] < torch_losses[0]
+
+    model = ConvModel(
+        canonical_etypes=g.canonical_etypes,
+        dims=(("user", 8), ("item", 8), ("hidden", HIDDEN), ("out", OUT)),
+        n_layers=3,  # embedding layer + 2 conv layers, same as the torch net
+        aggregator_type="mean_nn",
+        pred="cos",
+        aggregator_hetero="sum",
+        norm=True,
+        dropout=0.0,
+    )
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    cfg = MinibatchConfig(
+        edge_batch_size=BATCH, fanouts=FANOUTS, neg_sample_size=NEG_S,
+        neg_mode="shared_pool", neg_pool_size=NEG_POOL, delta=DELTA, lr=LR,
+        num_epochs=9,  # epoch 0 is the smoke pass (no update)
+        metrics_every=0, patience=100,
+    )
+    train_eids = {
+        et: np.arange(len(u)) for et, (u, _) in data.train_pairs.items()
+    }
+    state, hist = train_minibatch(
+        model, g, g, feats, train_eids, None, cfg,
+    )
+    assert hist["train_loss"][-1] < hist["train_loss"][1]
+
+    h = infer_embeddings(model, state.params, g, feats, mode="full_graph",
+                         ntypes=("user", "item"))
+    _, ours_recall, _ = get_metrics_at_k(
+        h["user"], h["item"], data.test_ground_truth, already, K
+    )
+
+    # Popularity baseline floor: both stacks must clearly learn.
+    pop = np.bincount(np.asarray(already[1]), minlength=data.num_items)
+    top = set(np.argsort(-pop)[:K].tolist())
+    gt_u, gt_i = data.test_ground_truth
+    pop_recall = np.mean([int(i) in top for i in gt_i])
+
+    print(f"PARITY recall@{K}: ours={ours_recall:.4f} "
+          f"torch={torch_recall:.4f} popularity={pop_recall:.4f}")
+    assert torch_recall > pop_recall
+    assert ours_recall > pop_recall
+    # Parity within run variance (different RNG streams, same regime).
+    assert ours_recall >= torch_recall - 0.05, (
+        f"ours {ours_recall:.4f} vs torch {torch_recall:.4f}"
+    )
