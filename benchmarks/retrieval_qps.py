@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--bought-per-user", type=int, default=20)
+    ap.add_argument("--popularity", action="store_true",
+                    help="popularity-boosted scoring (softmax + w*pop, "
+                         "reference src/metrics.py:69-72)")
+    ap.add_argument("--weight-popularity", type=float, default=2.0)
     args = ap.parse_args()
 
     import jax
@@ -44,6 +48,10 @@ def main():
     ab_i = rng.integers(0, args.items, len(ab_u)).astype(np.int32)
     ps = build_padded_pair_set(ab_u, ab_i, num_src=args.users)
     uids = jnp.arange(args.users, dtype=jnp.int32)
+    pop = (
+        jnp.asarray(rng.uniform(0, 0.05, args.items).astype(np.float32))
+        if args.popularity else None
+    )
 
     import functools
 
@@ -61,6 +69,8 @@ def main():
                 recs = get_recs(
                     ue + acc * jnp.float32(1e-30), ie, uids, args.k,
                     already_bought=ps, backend=backend,
+                    popularity=pop,
+                    weight_popularity=args.weight_popularity,
                 )
                 return acc + jnp.sum(recs).astype(jnp.float32), ()
             acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=n)
@@ -69,7 +79,8 @@ def main():
         dt = chain_time_per_call(None, chain, n1=1, n2=5, reps=2)
         qps = args.users / dt
         print(json.dumps({
-            "metric": f"retrieval_qps_{backend}",
+            "metric": f"retrieval_qps_{backend}"
+                      + ("_boosted" if args.popularity else ""),
             "value": round(qps, 1),
             "unit": "users/s",
             "catalog": args.items,

@@ -91,6 +91,85 @@ def _mips_kernel(u_ref, i_ref, vals_ref, idx_ref, acc_vals, acc_idx, *,
         idx_ref[:] = acc_idx[:]
 
 
+def _score_tile(u_ref, i_ref):
+    """One [C, T] MXU score tile (shared by all kernels here)."""
+    return jax.lax.dot_general(
+        u_ref[:],
+        i_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=(
+            None if u_ref.dtype == jnp.bfloat16
+            else jax.lax.Precision.HIGHEST
+        ),
+    )
+
+
+def _lse_kernel(u_ref, i_ref, m_ref, s_ref, acc_m, acc_s, *,
+                tile_items: int, num_items: int):
+    """Streamed per-row (max, sumexp): the softmax normalizer for the
+    popularity boost, computed without materializing [C, I]."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_m[:] = jnp.full_like(acc_m, NEG_INF)
+        acc_s[:] = jnp.zeros_like(acc_s)
+
+    scores = _score_tile(u_ref, i_ref)  # [C, T]
+    c = scores.shape[0]
+    base = j * tile_items
+    gcol = base + jax.lax.broadcasted_iota(jnp.int32, (c, tile_items), 1)
+    scores = jnp.where(gcol < num_items, scores, NEG_INF)
+
+    tile_m = jnp.max(scores, axis=1, keepdims=True)  # [C, 1]
+    m_new = jnp.maximum(acc_m[:], tile_m)
+    # exp(-inf - finite) = 0 handles both all-padding tiles and the j=0
+    # NEG_INF accumulator; m_new is finite from tile 0 on (num_items >= 1).
+    acc_s[:] = acc_s[:] * jnp.exp(acc_m[:] - m_new) + jnp.sum(
+        jnp.exp(scores - m_new), axis=1, keepdims=True
+    )
+    acc_m[:] = m_new
+
+    @pl.when(j == n_j - 1)
+    def _():
+        m_ref[:] = acc_m[:]
+        s_ref[:] = acc_s[:]
+
+
+def _boost_kernel(u_ref, i_ref, pop_ref, m_ref, s_ref, vals_ref, idx_ref,
+                  acc_vals, acc_idx, *, k: int, tile_items: int,
+                  num_items: int, weight: float):
+    """Running top-k on ``softmax(scores) + weight * popularity`` rows
+    (reference src/metrics.py:69-72), using the pass-1 normalizer."""
+    j = pl.program_id(1)
+    n_j = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_vals[:] = jnp.full_like(acc_vals, NEG_INF)
+        acc_idx[:] = jnp.zeros_like(acc_idx)
+
+    scores = _score_tile(u_ref, i_ref)  # [C, T]
+    c = scores.shape[0]
+    base = j * tile_items
+    gcol = base + jax.lax.broadcasted_iota(jnp.int32, (c, tile_items), 1)
+    boosted = jnp.exp(scores - m_ref[:]) / s_ref[:] + weight * pop_ref[:]
+    boosted = jnp.where(gcol < num_items, boosted, NEG_INF)
+
+    cand_vals = jnp.concatenate([acc_vals[:], boosted], axis=1)
+    cand_idx = jnp.concatenate([acc_idx[:], gcol], axis=1)
+    top_vals, top_pos = _extract_topk(cand_vals, cand_idx, k)
+    acc_vals[:] = top_vals
+    acc_idx[:] = top_pos
+
+    @pl.when(j == n_j - 1)
+    def _():
+        vals_ref[:] = acc_vals[:]
+        idx_ref[:] = acc_idx[:]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "tile_users", "tile_items", "interpret", "bf16"),
@@ -169,4 +248,107 @@ def mips_topk(
         ],
         interpret=interpret,
     )(user_emb, item_emb)
+    return vals[:u], idx[:u]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "weight", "tile_users", "tile_items", "interpret",
+                     "bf16"),
+)
+def mips_topk_boosted(
+    user_emb: jax.Array,
+    item_emb: jax.Array,
+    popularity: jax.Array,
+    k: int,
+    weight: float = 1.0,
+    tile_users: int = 128,
+    tile_items: int = 2048,
+    interpret: bool = False,
+    bf16: bool = False,
+):
+    """Popularity-boosted top-k: rank ``softmax(u @ I.T) + weight * pop``
+    per user (reference ``src/metrics.py:69-72``) without materializing the
+    [U, I] score block.
+
+    Two streamed passes over the catalog: pass 1 accumulates the per-row
+    softmax normalizer (online max/sumexp), pass 2 re-scores each tile,
+    applies the boost and maintains the running top-k in VMEM.  2x the
+    matmul FLOPs of the plain kernel, still O(U*D + I*D + U*k) HBM traffic
+    — the [U, I] block never exists.
+
+    popularity: [I] f32 per-item boost scores.
+    Returns (boosted values [U, k], indices [U, k]).
+    """
+    u, d = user_emb.shape
+    num_items = item_emb.shape[0]
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    user_emb = user_emb.astype(dt)
+    item_emb = item_emb.astype(dt)
+
+    pad_u = (-u) % tile_users
+    if pad_u:
+        user_emb = jnp.pad(user_emb, ((0, pad_u), (0, 0)))
+    pad_i = (-num_items) % tile_items
+    if pad_i:
+        item_emb = jnp.pad(item_emb, ((0, pad_i), (0, 0)))
+    pop = jnp.pad(
+        popularity.astype(jnp.float32).reshape(1, -1), ((0, 0), (0, pad_i))
+    )
+    up = user_emb.shape[0]
+    ip = item_emb.shape[0]
+    grid = (up // tile_users, ip // tile_items)
+
+    u_spec = pl.BlockSpec((tile_users, d), lambda i, j: (i, 0),
+                          memory_space=pltpu.VMEM)
+    i_spec = pl.BlockSpec((tile_items, d), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((tile_users, 1), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    m, s = pl.pallas_call(
+        functools.partial(_lse_kernel, tile_items=tile_items,
+                          num_items=num_items),
+        grid=grid,
+        in_specs=[u_spec, i_spec],
+        out_specs=[row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((up, 1), jnp.float32),
+            jax.ShapeDtypeStruct((up, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_users, 1), jnp.float32),
+            pltpu.VMEM((tile_users, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(user_emb, item_emb)
+
+    vals, idx = pl.pallas_call(
+        functools.partial(_boost_kernel, k=k, tile_items=tile_items,
+                          num_items=num_items, weight=weight),
+        grid=grid,
+        in_specs=[
+            u_spec,
+            i_spec,
+            pl.BlockSpec((1, tile_items), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            row_spec,
+            row_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_users, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_users, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((up, k), jnp.float32),
+            jax.ShapeDtypeStruct((up, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((tile_users, k), jnp.float32),
+            pltpu.VMEM((tile_users, k), jnp.int32),
+        ],
+        interpret=interpret,
+    )(user_emb, item_emb, pop, m, s)
     return vals[:u], idx[:u]

@@ -125,18 +125,20 @@ def get_recs(
     user_ids: [U] int32 user node ids to recommend for.
     already_bought: padded per-user bought-item rows to exclude.
     backend: 'xla' (chunked matmul + top_k) or 'pallas' (fused MIPS kernel
-        that never materializes the [C, I] score block; cosine scoring only,
-        no popularity boost).
+        that never materializes the [C, I] score block; cosine scoring with
+        optional popularity boost — custom score_fn needs 'xla').
     Returns [U, k] int32 item ids.
     """
     if backend == "pallas":
-        if popularity is not None or score_fn is not None:
+        if score_fn is not None:
             raise ValueError(
-                "pallas backend supports plain cosine scoring only"
+                "pallas backend supports cosine scoring only (use the XLA "
+                "backend for custom score functions, e.g. the MLP head)"
             )
         return _get_recs_pallas(
             user_emb, item_emb, user_ids, k, already_bought,
-            remove_already_bought,
+            remove_already_bought, popularity=popularity,
+            weight_popularity=weight_popularity,
         )
     if score_fn is None:
         score_fn = cosine_score_fn
@@ -193,15 +195,21 @@ def _get_recs_pallas(
     k: int,
     already_bought: Optional[PaddedPairSet],
     remove_already_bought: bool,
+    popularity: Optional[jax.Array] = None,
+    weight_popularity: float = 1.0,
 ) -> jax.Array:
     """Fused-kernel retrieval with over-fetch masking.
 
     Already-bought items can occupy at most ``max_row`` top slots, so
     fetching top-(k + max_row) from the kernel and dropping bought entries
     afterwards yields exactly the top-k unbought items — same result as
-    masking before ranking.
+    masking before ranking, and it composes with ANY per-item rescoring
+    (the reference also filters AFTER ranking, src/metrics.py:74-76).
+    With ``popularity`` the boosted two-pass kernel ranks
+    ``softmax(scores) + w * popularity`` (src/metrics.py:69-72), so the
+    fast serving path covers the full reference scoring semantics.
     """
-    from gnn_recsys_tpu.ops.pallas.topk_mips import mips_topk
+    from gnn_recsys_tpu.ops.pallas.topk_mips import mips_topk, mips_topk_boosted
 
     mask_rows = (
         already_bought is not None
@@ -215,7 +223,13 @@ def _get_recs_pallas(
     # Mosaic kernels only compile for real TPUs; interpret elsewhere.
     dev = jax.devices()[0]
     interpret = "tpu" not in (dev.platform + str(dev)).lower()
-    _, idx = mips_topk(ue, ie, fetch, interpret=interpret)
+    if popularity is not None:
+        _, idx = mips_topk_boosted(
+            ue, ie, popularity, fetch, weight=float(weight_popularity),
+            interpret=interpret,
+        )
+    else:
+        _, idx = mips_topk(ue, ie, fetch, interpret=interpret)
     if not mask_rows:
         return idx[:, :k]
     return _drop_bought(idx, user_ids, already_bought, k)
