@@ -234,6 +234,40 @@ def main():
         file=sys.stderr,
     )
 
+    # Roofline context (so "fast" is verifiable, not asserted): XLA's own
+    # post-optimization FLOP / bytes-accessed counts for the measured
+    # program, divided by the measured step time, as a % of the chip's
+    # peak MXU rate and HBM bandwidth.  "bytes accessed" counts each
+    # fused op's operands+outputs, so it over-states true HBM traffic
+    # where buffers stay resident — treat the % as an upper bound.
+    mxu_pct = hbm_pct = None
+    try:
+        ca = chain.lower(state, rng, n1).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) / n1
+        byts = float(ca.get("bytes accessed", 0.0)) / n1
+        kind = jax.devices()[0].device_kind.lower()
+        # (peak bf16 FLOP/s, HBM bytes/s) per chip, public specs.
+        peaks = None
+        if "v5 lite" in kind or "v5e" in kind:
+            peaks = (197e12, 819e9)
+        elif "v5p" in kind or "v5" in kind:
+            peaks = (459e12, 2765e9)
+        elif "v4" in kind:
+            peaks = (275e12, 1228e9)
+        if peaks and step_s > 0:
+            mxu_pct = 100.0 * (flops / step_s) / peaks[0]
+            hbm_pct = 100.0 * (byts / step_s) / peaks[1]
+            print(
+                f"roofline: {flops / 1e9:.1f} GFLOP/step "
+                f"({mxu_pct:.1f}% of bf16 MXU peak), "
+                f"{byts / 1e6:.0f} MB accessed/step "
+                f"({hbm_pct:.1f}% of HBM bandwidth; upper bound)",
+                file=sys.stderr,
+            )
+    except Exception as e:  # cost_analysis is best-effort over the tunnel
+        print(f"roofline unavailable: {e!r}", file=sys.stderr)
+
     # Reference-stack baseline: the same step in PyTorch with DGL-style
     # dedup'd blocks on the host CPU (benchmarks/torch_reference.py).  The
     # baseline world is built directly on the CPU device (pulling the
@@ -275,16 +309,16 @@ def main():
         f"{BASELINE_FLOOR:,.0f})",
         file=sys.stderr,
     )
-    print(
-        json.dumps(
-            {
-                "metric": "train_edges_per_s",
-                "value": round(edges_per_s, 1),
-                "unit": "edges/s",
-                "vs_baseline": round(edges_per_s / eager_edges_per_s, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "train_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / eager_edges_per_s, 2),
+    }
+    if mxu_pct is not None:
+        out["mxu_pct"] = round(mxu_pct, 1)
+        out["hbm_pct"] = round(hbm_pct, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -71,7 +71,10 @@ def explore_recs(
             clicked = hist[hist[c.buy] == 0]["pdt_new_id"].tolist()
             print_fn(f"  bought:      {describe(bought[:8])}")
             print_fn(f"  clicked:     {describe(clicked[:8])}")
-        print_fn(f"  recommended: {describe(list(recs[u])[:10])}")
+        # Drop the -1 "no recommendation" sentinel (hub users who already
+        # bought nearly the whole catalog).
+        rec_row = [r for r in list(recs[u]) if int(r) >= 0]
+        print_fn(f"  recommended: {describe(rec_row[:10])}")
         if ground_truth is not None and u in ground_truth:
             print_fn(f"  ground truth:{describe(list(ground_truth[u])[:8])}")
 

@@ -65,12 +65,14 @@ def pair_set_contains(ps: PaddedPairSet, u: jax.Array, v: jax.Array) -> jax.Arra
 
     u: [*s] int32 source ids (duplicates fine); v: [*s] or [*s, S].
     Returns bool of v's shape.  One row gather + a broadcast compare.
+    Negative probe ids (e.g. the -1 "no recommendation" sentinel from
+    retrieval) never match — they would otherwise alias the -1 padding.
     """
     rows = jnp.take(ps.rows, u, axis=0)  # [*s, K]
     if v.ndim == u.ndim:
-        return jnp.any(rows == v[..., None], axis=-1)
+        return jnp.any(rows == v[..., None], axis=-1) & (v >= 0)
     # v has one extra trailing axis (e.g. S negatives per source).
-    return jnp.any(rows[..., None, :] == v[..., None], axis=-1)
+    return jnp.any(rows[..., None, :] == v[..., None], axis=-1) & (v >= 0)
 
 
 def scatter_row_mask(

@@ -180,12 +180,19 @@ def _drop_bought(
 
     Stable-sorts unbought entries to the front, preserving score order —
     exactly the reference's filter-after-ranking (src/metrics.py:74-76).
+    A user with fewer than k unbought candidates (a hub who bought nearly
+    the whole catalog) gets ``-1`` sentinels in the trailing slots — the
+    static-shape form of the reference's shorter rec list; metric and
+    exploration consumers skip them.
     """
     from gnn_recsys_tpu.ops.membership import pair_set_contains
 
     bought = pair_set_contains(already_bought, user_ids, idx)  # [U, fetch]
     order = jnp.argsort(bought.astype(jnp.int32), axis=1, stable=True)
-    return jnp.take_along_axis(idx, order, axis=1)[:, :k]
+    top = jnp.take_along_axis(idx, order, axis=1)[:, :k]
+    n_unbought = jnp.sum(~bought, axis=1, keepdims=True)  # [U, 1]
+    slot = jnp.arange(k, dtype=jnp.int32)[None, :]
+    return jnp.where(slot < n_unbought, top, -1)
 
 
 def _get_recs_pallas(

@@ -1,0 +1,154 @@
+"""Hub-degree (power-law) stress tests.
+
+The padded-row structures are max-degree wide: ``PaddedPairSet`` rows
+(``ops/membership.py``) and the retrieval over-fetch
+(``retrieval/recs.py``: top-(k + max_row)) both scale with the HOTTEST
+source's out-degree.  Real interaction graphs are power-law, so one hub
+user inflates every row.  These tests pin down the behavior at the
+extremes: exactness when uncapped (over-fetch saturating at the whole
+catalog), bounded memory + documented recency semantics when capped, and
+sampling correctness over a capped hub relation.
+
+Reference behavior matched: filter-after-ranking already-bought removal
+(``/root/reference/src/metrics.py:74-76``) and most-recent-interactions
+bias under degree caps (``src/sampling.py:72-82``).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gnn_recsys_tpu.graph.hetero import coo_to_padded_csc
+from gnn_recsys_tpu.ops.membership import (
+    PaddedPairSet,
+    build_padded_pair_set,
+    pair_set_contains,
+)
+from gnn_recsys_tpu.retrieval.recs import get_recs
+
+
+def _powerlaw_pairs(num_users=64, num_items=500, hub_frac=0.9, seed=0):
+    """One hub user who bought ``hub_frac`` of the catalog; a Zipf tail."""
+    rng = np.random.default_rng(seed)
+    src, dst = [], []
+    hub_items = rng.choice(
+        num_items, size=int(hub_frac * num_items), replace=False
+    )
+    src.extend([0] * len(hub_items))
+    dst.extend(hub_items.tolist())
+    # Zipf-ish tail: user u buys ~ceil(64/u) items.
+    for u in range(1, num_users):
+        n = max(1, int(64 / u))
+        items = rng.choice(num_items, size=min(n, num_items), replace=False)
+        src.extend([u] * len(items))
+        dst.extend(items.tolist())
+    return np.asarray(src, np.int32), np.asarray(dst, np.int32)
+
+
+def test_uncapped_pair_set_width_is_hub_degree():
+    src, dst = _powerlaw_pairs()
+    ps = build_padded_pair_set(src, dst, num_src=64)
+    hub_deg = int((src == 0).sum())
+    assert ps.max_row >= hub_deg  # rounded up to tile multiple
+    assert ps.max_row < hub_deg + 8 + 1
+
+
+def test_capped_pair_set_bounds_memory_and_keeps_recent():
+    src, dst = _powerlaw_pairs()
+    cap = 32
+    ps = build_padded_pair_set(src, dst, num_src=64, cap=cap)
+    assert ps.max_row == cap  # memory bounded by the cap, not the hub
+    # Capped rows keep the LAST cap edges (recency bias, the builder's
+    # time order): the hub's most recent purchases must still test True.
+    hub_recent = dst[src == 0][-cap:]
+    got = pair_set_contains(
+        ps, jnp.zeros((cap,), jnp.int32), jnp.asarray(hub_recent)
+    )
+    assert bool(np.all(np.asarray(got)))
+    # The hub's OLDEST purchases fall out of the capped set (documented
+    # exactness trade) while light users stay exact.
+    hub_old = dst[src == 0][: -cap]
+    got_old = pair_set_contains(
+        ps,
+        jnp.zeros((len(hub_old),), jnp.int32),
+        jnp.asarray(hub_old),
+    )
+    assert not bool(np.all(np.asarray(got_old)))
+    light = 40  # degree ~1-2, far below cap
+    light_items = dst[src == light]
+    got_light = pair_set_contains(
+        ps,
+        jnp.full((len(light_items),), light, jnp.int32),
+        jnp.asarray(light_items),
+    )
+    assert bool(np.all(np.asarray(got_light)))
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_hub_overfetch_saturates_catalog_and_stays_exact(backend):
+    """k + max_row > catalog: over-fetch clamps to the whole catalog and
+    the filtered top-k still matches a numpy filter-after-rank oracle."""
+    num_users, num_items, d, k = 64, 500, 16, 10
+    src, dst = _powerlaw_pairs(num_users, num_items, hub_frac=0.99)
+    ps = build_padded_pair_set(src, dst, num_src=num_users)
+    assert k + ps.max_row > num_items  # the stress point
+
+    rng = np.random.default_rng(1)
+    ue = rng.standard_normal((num_users, d)).astype(np.float32)
+    ie = rng.standard_normal((num_items, d)).astype(np.float32)
+    user_ids = np.arange(num_users, dtype=np.int32)
+
+    recs = get_recs(
+        jnp.asarray(ue), jnp.asarray(ie), jnp.asarray(user_ids), k,
+        already_bought=ps, backend=backend,
+    )
+    recs = np.asarray(recs)
+
+    # Oracle: cosine rank over the catalog, drop bought, take first k.
+    uen = ue / np.linalg.norm(ue, axis=1, keepdims=True)
+    ien = ie / np.linalg.norm(ie, axis=1, keepdims=True)
+    scores = uen @ ien.T
+    bought_sets = {
+        u: set(dst[src == u].tolist()) for u in range(num_users)
+    }
+    for u in user_ids:
+        order = np.argsort(-scores[u], kind="stable")
+        keep = [int(i) for i in order if i not in bought_sets[int(u)]][:k]
+        # Users with fewer than k unbought items (the hub) get -1
+        # sentinels — the static-shape form of the reference's shorter
+        # rec list (filter-after-rank, src/metrics.py:74-76).
+        keep += [-1] * (k - len(keep))
+        assert recs[u].tolist() == keep, f"user {u} ({backend})"
+
+
+def test_capped_hub_relation_samples_only_recent_edges():
+    """A capped CSC row on a hub destination holds exactly the last K
+    incoming edges in edge-id order (recency bias, src/sampling.py:72-82)."""
+    num_dst, cap = 8, 16
+    # Destination 0 is a hub with 200 in-edges; others have 3.
+    src_l, dst_l = [], []
+    for e in range(200):
+        src_l.append(e % 97)
+        dst_l.append(0)
+    for v in range(1, num_dst):
+        for e in range(3):
+            src_l.append(v * 10 + e)
+            dst_l.append(v)
+    src = np.asarray(src_l, np.int32)
+    dst = np.asarray(dst_l, np.int32)
+    nbr, nbr_eid, mask, deg = coo_to_padded_csc(
+        src, dst, num_dst=num_dst, max_fanout=cap
+    )
+    assert nbr.shape[1] == cap
+    # Hub row: the last `cap` edges by edge id.
+    expect_eids = np.arange(200)[-cap:]
+    assert deg[0] == cap
+    np.testing.assert_array_equal(np.sort(nbr_eid[0]), expect_eids)
+    np.testing.assert_array_equal(
+        nbr[0][np.argsort(nbr_eid[0])], src[expect_eids]
+    )
+    # Light rows unaffected.
+    assert deg[1] == 3
+    np.testing.assert_array_equal(
+        np.sort(nbr[1][mask[1]]), np.sort(src[dst == 1])
+    )
