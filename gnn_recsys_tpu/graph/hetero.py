@@ -39,9 +39,11 @@ class Relation:
     """One canonical edge type: COO edges + padded CSC (by destination).
 
     Replaces DGL's per-etype index structures. ``nbr[d, k]`` is the source
-    node id of the k-th incoming edge of destination node ``d`` (padded with
-    0 where ``nbr_mask`` is False), and ``nbr_eid[d, k]`` indexes into the
-    COO arrays (``src``/``dst``/``edata``) for edge features.
+    node id of the k-th incoming edge of destination node ``d`` (padded
+    with -1 where ``nbr_mask`` is False — an invariant the sampler relies
+    on to derive degrees from gathered rows; see build_relation), and
+    ``nbr_eid[d, k]`` indexes into the COO arrays
+    (``src``/``dst``/``edata``) for edge features.
     """
 
     src: jax.Array  # [E] int32 source node ids
@@ -199,10 +201,20 @@ def build_relation(
     max_fanout: Optional[int] = None,
     fanout_multiple: int = 8,
 ) -> Relation:
-    """Build a :class:`Relation` (host numpy -> device arrays)."""
+    """Build a :class:`Relation` (host numpy -> device arrays).
+
+    Padding slots of ``nbr`` are stored as -1 (an INVARIANT all Relations
+    share — load_graph normalizes old files): the sampler then derives
+    each node's degree from the neighbor row it already gathers
+    (``count(row != -1)``) instead of a separate [frontier]-sized scalar
+    gather from ``deg`` per level, which XLA lowers pathologically
+    (~7 ns/element on v5e).  Consumers clamp or mask padded slots, so the
+    -1 never reaches arithmetic.
+    """
     nbr, nbr_eid, nbr_mask, deg = coo_to_padded_csc(
         src, dst, num_dst, max_fanout=max_fanout, fanout_multiple=fanout_multiple
     )
+    nbr = np.where(nbr_mask, nbr, -1).astype(np.int32)
     edata = dict(edata or {})
     return Relation(
         src=jnp.asarray(src, dtype=jnp.int32),

@@ -79,10 +79,17 @@ def load_graph(path: str) -> HeteroGraph:
                     z[_flat_key("rel", et_key, "nbr_mask")],
                     int(z[_flat_key("rel", et_key, "src")].shape[0]),
                 ))
+            # Normalize the -1 padding invariant (build_relation) so files
+            # written by old writers (0-padded) sample correctly: the
+            # sampler derives degrees as count(row != -1).
+            nbr_mask = np.asarray(z[_flat_key("rel", et_key, "nbr_mask")])
+            nbr = np.where(
+                nbr_mask, np.asarray(z[_flat_key("rel", et_key, "nbr")]), -1
+            ).astype(np.int32)
             rels[et] = Relation(
                 src=arr("src"),
                 dst=arr("dst"),
-                nbr=arr("nbr"),
+                nbr=jnp.asarray(nbr),
                 nbr_eid=arr("nbr_eid"),
                 nbr_mask=arr("nbr_mask"),
                 deg=arr("deg"),

@@ -404,6 +404,56 @@ class ConvModel(nn.Module):
         return self._tree_level(graph, features, exclude_eids, fanouts,
                                 deterministic, level, ntype, ids, key)
 
+    def _can_fold_leaf(
+        self, layer, src_ntype: str, level: int, deterministic: bool
+    ) -> bool:
+        """Whether the leaf-level embed+fc_preagg pair folds into ONE Dense.
+
+        The leaf chain for ``*_nn`` aggregators is
+        ``relu(fc_preagg(dropout(embed(x))))`` — two back-to-back affine
+        maps whenever dropout is inactive, so a single effective
+        ``[feat_dim -> hidden]`` matmul computes identical values.  At the
+        bench config this removes the per-message [*, H] x [H, H] matmul
+        (25 GFLOP/step), its weight/input gradients, AND the [*, fanout, H]
+        embed-output intermediate (~100 MB) from the hot loop — measured
+        ~2.3 ms of a 12.6 ms step on v5e (benchmarks/profile_trace.py).
+        """
+        return (
+            level == 1
+            and self.embedding_layer
+            and src_ntype in self.embed
+            and layer.aggregator_type
+            in ("mean_nn", "mean_nn_edge", "pool_nn", "pool_nn_edge")
+            and (layer.dropout == 0.0 or deterministic)
+        )
+
+    def _leaf_transform_composed(
+        self, layer, src_ntype: str, raw: jax.Array
+    ) -> jax.Array:
+        """``relu(fc_preagg(embed(raw)))`` via composed effective weights.
+
+        The weights are extracted by probing each affine module at basis
+        points (rows of an identity + a zero row), which is exact and
+        fully differentiable: ``embed`` maps ``x -> x @ W1 + b1`` and
+        ``fc_preagg`` (bias-free) maps ``h -> h @ W2``, so
+        ``W_eff = W1 @ W2`` ([feat_dim, H] — tiny) and
+        ``b_eff = b1 @ W2``.  The compose matmuls are O(feat_dim * H^2)
+        once per step vs O(messages * H^2) per message.
+        """
+        d_raw = raw.shape[-1]
+        probe = jnp.concatenate(
+            [jnp.zeros((1, d_raw), raw.dtype),
+             jnp.eye(d_raw, dtype=raw.dtype)], axis=0
+        )
+        eb = self.embed[src_ntype](probe)  # rows: [b1; W1 + b1]
+        h = eb.shape[-1]
+        w2 = layer.fc_preagg(jnp.eye(h, dtype=eb.dtype))  # [H, H]
+        b_eff = jnp.matmul(eb[0], w2)
+        w_eff = jnp.matmul(eb[1:] - eb[0], w2)  # W1 @ W2
+        # Match the unfolded path's computation dtype (embed casts inputs
+        # to the module dtype, e.g. bf16 on the MXU).
+        return nn.relu(jnp.matmul(raw.astype(eb.dtype), w_eff) + b_eff)
+
     def _tree_level(
         self,
         graph: HeteroGraph,
@@ -458,11 +508,19 @@ class ConvModel(nn.Module):
                 with_eids=need_eid,
                 **_exclusion_kwargs(excl),
             )
-            h_nbr = self._tree_dispatch(
-                graph, features, exclude_eids, fanouts, deterministic,
-                level - 1, etype[0], nbr, keys[2 * j + 1],
-            )
-            h_nbr = layer.transform_src(h_nbr, deterministic=deterministic)
+            if self._can_fold_leaf(layer, etype[0], level, deterministic):
+                raw = jnp.take(
+                    features[etype[0]], nbr.reshape(-1), axis=0
+                ).reshape(*nbr.shape, -1)
+                h_nbr = self._leaf_transform_composed(layer, etype[0], raw)
+            else:
+                h_nbr = self._tree_dispatch(
+                    graph, features, exclude_eids, fanouts, deterministic,
+                    level - 1, etype[0], nbr, keys[2 * j + 1],
+                )
+                h_nbr = layer.transform_src(
+                    h_nbr, deterministic=deterministic
+                )
 
             edge_weight = None
             if (

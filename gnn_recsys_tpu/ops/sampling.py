@@ -64,7 +64,6 @@ def sample_neighbors(
     gathers) when the caller needs no per-edge features.
     """
     kmax = rel.max_fanout
-    deg = jnp.take(rel.deg, ids, axis=0)  # [*s]
     need_eids = with_eids or (
         exclude_sorted_eids is not None and exclude_sorted_eids.shape[0] > 0
     )
@@ -87,11 +86,6 @@ def sample_neighbors(
     elif mode == "uniform":
         if rng is None:
             raise ValueError("uniform sampling requires an rng key")
-        u = jax.random.uniform(rng, (*ids.shape, fanout))
-        slot = jnp.minimum(
-            (u * jnp.maximum(deg, 1)[..., None]).astype(jnp.int32),
-            jnp.maximum(deg - 1, 0)[..., None],
-        )
         # Pick sampled slots via ONE row gather per frontier node + a fused
         # one-hot select, NOT `fanout` scalar gathers per node: XLA lowers
         # 1-D scalar gathers at ~7 ns/element on v5e while row gathers run
@@ -102,6 +96,16 @@ def sample_neighbors(
         row = jnp.take(table, ids.reshape(-1), axis=0).reshape(
             *ids.shape, kmax
         )  # [*s, K]
+        # Degree rides the SAME row gather (padding is -1 by Relation
+        # invariant; sign-marked EXCLUDED slots are negative-but-not--1,
+        # so they still count toward degree — an excluded draw becomes an
+        # invalid slot below, identical to the separate-deg semantics).
+        deg = jnp.sum((row != -1).astype(jnp.int32), axis=-1)
+        u = jax.random.uniform(rng, (*ids.shape, fanout))
+        slot = jnp.minimum(
+            (u * jnp.maximum(deg, 1)[..., None]).astype(jnp.int32),
+            jnp.maximum(deg - 1, 0)[..., None],
+        )
         sel = slot[..., None] == jnp.arange(kmax, dtype=jnp.int32)
         nbr = jnp.sum(row[..., None, :] * sel, axis=-1)  # [*s, fanout]
         if need_eids:
@@ -129,6 +133,13 @@ def sample_neighbors(
         )
         excluded = exclude_sorted_eids[pos] == eid
         mask = mask & ~excluded
+    # Invalid slots can carry the -1 padding (or 2^31-1 after sign
+    # unmasking); downstream feature gathers use jnp.take's default FILL
+    # mode, which turns out-of-bounds ids into NaN — and NaN poisons even
+    # masked slots (0 * NaN = NaN in the mean reduce).  Return a real
+    # (node-0) id for every invalid slot, exactly the old 0-padding
+    # behavior.
+    nbr = jnp.where(mask, nbr, 0)
     return nbr, eid, mask
 
 

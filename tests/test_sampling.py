@@ -306,3 +306,38 @@ def test_exclusion_table_equivalent_to_searchsorted(data):
         np.testing.assert_array_equal(
             np.asarray(nbr_a)[m], np.asarray(nbr_b)[m]
         )
+
+
+def test_zero_degree_nodes_yield_in_bounds_padding():
+    """Regression: Relation.nbr is -1-padded (degree rides the row gather);
+    returned neighbor ids must still be IN-BOUNDS for every invalid slot,
+    because downstream feature gathers use jnp.take's default FILL mode —
+    an out-of-bounds id becomes NaN and 0 * NaN poisons masked slots."""
+    from gnn_recsys_tpu.graph.hetero import build_relation
+
+    # Destinations 3 and 7 of 10 have NO incoming edges.
+    src = np.asarray([1, 2, 5, 5, 9, 4], np.int32)
+    dst = np.asarray([0, 0, 1, 2, 4, 9], np.int32)
+    rel = build_relation(src, dst, num_dst=10)
+    zero_deg = np.asarray([3, 7])
+    assert (np.asarray(rel.deg)[zero_deg] == 0).all()
+    ids = jnp.asarray(zero_deg, jnp.int32)
+    for mode, kw in (("uniform", dict(rng=jax.random.PRNGKey(3))),
+                     ("full", {})):
+        nbr, _, mask = sample_neighbors(rel, ids, fanout=4, mode=mode, **kw)
+        assert not np.asarray(mask).any()
+        vals = np.asarray(nbr)
+        assert (vals >= 0).all() and (vals < 10).all(), mode
+        # NaN-poisoning check: gather float features at the returned ids.
+        feats = jnp.ones((10, 4), jnp.float32)
+        assert np.isfinite(np.asarray(jnp.take(feats, nbr, axis=0))).all()
+
+
+def test_row_derived_degree_matches_deg_array(data):
+    """The sampler derives degree as count(row != -1); it must equal the
+    packer's deg array for every node of every relation."""
+    for et, rel in data.graph.rels.items():
+        row_deg = np.asarray((jnp.asarray(rel.nbr) != -1).sum(axis=1))
+        np.testing.assert_array_equal(
+            row_deg, np.asarray(rel.deg), err_msg=str(et)
+        )
