@@ -508,6 +508,35 @@ class ConvModel(nn.Module):
                 with_eids=need_eid,
                 **_exclusion_kwargs(excl),
             )
+            if (
+                level == 1
+                and self.embedding_layer
+                and etype[0] in self.embed
+                and layer.aggregator_type == "mean"
+                and (layer.dropout == 0.0 or deterministic)
+            ):
+                # Aggregate-then-transform for the plain 'mean' aggregator
+                # (the other HP-reachable leaf config): the per-message map
+                # is just the affine embed, which commutes through the
+                # masked mean — so average the RAW feat_dim-wide features
+                # (32x narrower reduce) and run ONE embed per node instead
+                # of per message.  Zero-degree rows must stay 0 (the
+                # unfolded path yields 0, the commuted affine would yield
+                # its bias), hence the count>0 guard.
+                raw = jnp.take(
+                    features[etype[0]], nbr.reshape(-1), axis=0
+                ).reshape(*nbr.shape, -1)
+                m = mask[..., None].astype(raw.dtype)
+                count = jnp.sum(mask.astype(raw.dtype), axis=-1)
+                s = jnp.sum(raw * m, axis=-2) / jnp.maximum(
+                    count, 1.0
+                )[..., None]
+                agg = self.embed[etype[0]](s)
+                agg = agg * (count > 0)[..., None].astype(agg.dtype)
+                zs.append(
+                    layer.combine(h_self, agg, deterministic=deterministic)
+                )
+                continue
             if self._can_fold_leaf(layer, etype[0], level, deterministic):
                 raw = jnp.take(
                     features[etype[0]], nbr.reshape(-1), axis=0
