@@ -71,12 +71,16 @@ def _gather_msgs(
     nbr_eid: Optional[jax.Array],
     edge_weight: Optional[jax.Array],
 ) -> jax.Array:
-    msgs = jnp.take(h_src, nbr, axis=0)  # [N_dst, K, D]
+    # Padding slots may hold -1 sentinels (the Relation.nbr invariant);
+    # under jit an out-of-range take fill-produces NaN rows, and 0*NaN
+    # would poison the masked reduction — clamp before gathering.  The
+    # clamped garbage rows are zeroed/ignored by the caller's mask.
+    msgs = jnp.take(h_src, jnp.maximum(nbr, 0), axis=0)  # [N_dst, K, D]
     if edge_weight is not None:
         if nbr_eid is None:
             raise ValueError("edge weighting requires nbr_eid")
-        w = jnp.take(edge_weight, nbr_eid, axis=0)  # [N_dst, K]
-        msgs = msgs * w[..., None]
+        w = jnp.take(edge_weight, jnp.maximum(nbr_eid, 0), axis=0)
+        msgs = msgs * w[..., None]  # [N_dst, K]
     return msgs
 
 

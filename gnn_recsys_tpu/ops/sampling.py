@@ -28,6 +28,14 @@ import jax.numpy as jnp
 
 from gnn_recsys_tpu.graph.hetero import Relation
 
+# Widest padded row for which uniform sampling uses the row-gather +
+# one-hot-select fast path.  That path does O(kmax) work per sampled slot
+# (it was measured faster than scalar gathers at capped fanouts <= 32 on
+# v5e), so on relations built WITHOUT max_fanout — where kmax equals the
+# hub in-degree, possibly thousands — it would regress quadratically;
+# beyond the threshold we fall back to O(1)-per-slot flat scalar gathers.
+ROW_GATHER_KMAX = 64
+
 
 def sample_neighbors(
     rel: Relation,
@@ -83,7 +91,7 @@ def sample_neighbors(
                 exclude_flags.reshape(-1, kmax), ids, axis=0
             )
             mask = mask & ~excluded
-    elif mode == "uniform":
+    elif mode == "uniform" and kmax <= ROW_GATHER_KMAX:
         if rng is None:
             raise ValueError("uniform sampling requires an rng key")
         # Pick sampled slots via ONE row gather per frontier node + a fused
@@ -92,7 +100,8 @@ def sample_neighbors(
         # ~5x faster, and the select fuses into the reduction (never
         # materialized).  Measured: the four [196608]-element leaf-level
         # scalar gathers alone cost 5.6 ms/step at the bench config —
-        # ~36% of the whole forward.
+        # ~36% of the whole forward.  Only a win at capped fanout: the
+        # select is O(kmax) per slot, hence the ROW_GATHER_KMAX gate.
         row = jnp.take(table, ids.reshape(-1), axis=0).reshape(
             *ids.shape, kmax
         )  # [*s, K]
@@ -122,6 +131,33 @@ def sample_neighbors(
                 exclude_flags.reshape(-1, kmax), ids.reshape(-1), axis=0
             ).reshape(*ids.shape, kmax)
             mask = mask & ~jnp.any(sel & frow[..., None, :], axis=-1)
+    elif mode == "uniform":
+        if rng is None:
+            raise ValueError("uniform sampling requires an rng key")
+        # Wide-row (uncapped, power-law) fallback: O(1) flat scalar
+        # gathers per sampled slot; degree from the precomputed
+        # Relation.deg (one scalar gather per frontier node) instead of
+        # an O(kmax) row scan.
+        deg = jnp.take(rel.deg, ids.reshape(-1), axis=0).reshape(ids.shape)
+        u = jax.random.uniform(rng, (*ids.shape, fanout))
+        slot = jnp.minimum(
+            (u * jnp.maximum(deg, 1)[..., None]).astype(jnp.int32),
+            jnp.maximum(deg - 1, 0)[..., None],
+        )
+        idx = (ids[..., None].astype(jnp.int32) * kmax + slot).reshape(-1)
+        nbr = jnp.take(table.reshape(-1), idx).reshape(*ids.shape, fanout)
+        if need_eids:
+            eid = jnp.take(rel.nbr_eid.reshape(-1), idx).reshape(
+                *ids.shape, fanout
+            )
+        mask = jnp.broadcast_to((deg > 0)[..., None], nbr.shape)
+        if nbr_table is not None:
+            mask = mask & (nbr >= 0)
+            nbr = nbr & jnp.int32(2**31 - 1)
+        if exclude_flags is not None:
+            mask = mask & ~jnp.take(exclude_flags, idx).reshape(
+                *ids.shape, fanout
+            )
     else:
         raise KeyError(f"sampling mode {mode} not recognized.")
 

@@ -4,7 +4,10 @@ Vectorized re-implementation of the reference's dict-of-lists metrics
 (``/root/reference/src/metrics.py:81-134``) with identical semantics:
 
   * precision = (# recommended entries present in the user's ground truth)
-                / (k * number of users)
+                / (total # recommended entries) — the reference divides by
+                the sum of actual rec-list lengths (src/metrics.py:88-90),
+                so -1 "no recommendation" sentinel slots are excluded from
+                the denominator (see PARITY.md item 6)
   * recall    = (# ground-truth pairs whose item appears in that user's
                 recommendations) / (total # ground-truth pairs)
   * coverage  = (# distinct recommended items) / catalog size
@@ -53,8 +56,13 @@ def recs_to_metrics(
     gt_set = build_padded_pair_set(
         gt_users, gt_items, num_src=max(num_users, int(np.max(gt_users)) + 1)
     )
-    rec_hits = pair_set_contains(gt_set, user_ids, recs)
-    precision = jnp.sum(rec_hits) / (u * k)
+    rec_hits = pair_set_contains(gt_set, user_ids, recs) & (recs >= 0)
+    # Reference precision divides by the sum of ACTUAL rec-list lengths
+    # (src/metrics.py:88-90) — -1 "no recommendation" sentinel slots (hub
+    # users with fewer than k unbought items) don't count in the
+    # denominator.
+    num_recs = jnp.maximum(jnp.sum(recs >= 0), 1)
+    precision = jnp.sum(rec_hits) / num_recs
 
     # For each ground-truth pair: is its item among that user's recs?
     # user id -> recs row index (user_ids need not be sorted).

@@ -3,6 +3,8 @@
 
 from collections import defaultdict
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -255,3 +257,21 @@ def test_already_bought_table_covers_all_queried_users():
     # with k=6 == catalog size, users 8/9 must still see items 1 and 2
     # (they never bought them); recall counts their gt hits
     assert r == 1.0 or r > 0.66  # items 1,2 recommended for 8,9; 3 for 0
+
+
+def test_precision_denominator_excludes_sentinel_slots():
+    """Hub users with fewer than k unbought items get -1 'no rec' slots;
+    the reference divides precision by the sum of ACTUAL rec-list lengths
+    (src/metrics.py:88-90), so sentinels must not dilute it (ADVICE r2)."""
+    user_ids = np.array([0, 1], dtype=np.int32)
+    # user 0: 2 real recs (1 hit) + 3 sentinels; user 1: 5 real recs, 2 hits.
+    recs = np.array([[4, 7, -1, -1, -1],
+                     [1, 2, 3, 8, 9]], dtype=np.int32)
+    gt_u = np.array([0, 1, 1], dtype=np.int32)
+    gt_i = np.array([4, 2, 9], dtype=np.int32)
+    precision, recall, coverage = recs_to_metrics(
+        jnp.asarray(recs), jnp.asarray(user_ids), gt_u, gt_i, num_items=10
+    )
+    assert precision == pytest.approx(3 / 7)  # not 3/10
+    assert recall == pytest.approx(1.0)
+    assert coverage == pytest.approx(7 / 10)

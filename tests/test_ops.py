@@ -137,3 +137,26 @@ def test_uniform_negative_dst_shapes_and_range():
     # roughly uniform
     counts = np.bincount(np.asarray(nd).ravel(), minlength=20)
     assert counts.min() > 0
+
+
+def test_csc_gather_accepts_minus1_padded_relation(coo):
+    """The public contract: feeding Relation.nbr (padding stored as -1,
+    build_relation invariant) directly must not NaN-poison the masked
+    reductions (ADVICE r2: jnp.take fill-mode under jit)."""
+    from gnn_recsys_tpu.graph.hetero import build_relation
+
+    src, dst, h, w, num_dst = coo
+    rel = build_relation(src, dst, num_dst=num_dst, edata={"w": w})
+    for w_ in (None, jnp.asarray(w)):
+        mean_ref = coo_segment_mean(jnp.asarray(h), jnp.asarray(src),
+                                    jnp.asarray(dst), num_dst, w_)
+        got = jax.jit(csc_gather_mean)(jnp.asarray(h), rel.nbr, rel.nbr_mask,
+                                       rel.nbr_eid, w_)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(got, mean_ref, rtol=1e-5, atol=1e-5)
+        max_ref = coo_segment_max(jnp.asarray(h), jnp.asarray(src),
+                                  jnp.asarray(dst), num_dst, w_)
+        got = jax.jit(csc_gather_max)(jnp.asarray(h), rel.nbr, rel.nbr_mask,
+                                      rel.nbr_eid, w_)
+        assert np.isfinite(np.asarray(got)).all()
+        np.testing.assert_allclose(got, max_ref, rtol=1e-5, atol=1e-5)

@@ -341,3 +341,59 @@ def test_row_derived_degree_matches_deg_array(data):
         np.testing.assert_array_equal(
             row_deg, np.asarray(rel.deg), err_msg=str(et)
         )
+
+
+def test_uniform_wide_row_fallback(data):
+    """Relations wider than ROW_GATHER_KMAX route through the O(1)-per-slot
+    flat-gather path (ADVICE r2: the one-hot select is O(kmax) per slot,
+    ruinous at uncapped hub degrees).  Same draw semantics as the fast
+    path: valid draws from the true neighbor list, eids consistent,
+    zero-degree rows fully masked, exclusion honored."""
+    from gnn_recsys_tpu.graph.hetero import build_relation
+    from gnn_recsys_tpu.ops.sampling import ROW_GATHER_KMAX, exclusion_flags
+
+    rng = np.random.default_rng(7)
+    num_dst = 12
+    # One hub destination with degree >> ROW_GATHER_KMAX, uncapped build.
+    hub_deg = ROW_GATHER_KMAX * 2 + 5
+    src = np.concatenate([
+        rng.integers(0, 50, hub_deg),          # dst 0, the hub
+        rng.integers(0, 50, 8),                # dst 1
+    ]).astype(np.int32)
+    dst = np.concatenate([
+        np.zeros(hub_deg), np.ones(8)
+    ]).astype(np.int32)
+    rel = build_relation(src, dst, num_dst=num_dst)
+    assert rel.max_fanout > ROW_GATHER_KMAX  # fallback path engaged
+
+    ids = jnp.arange(num_dst, dtype=jnp.int32)
+    nbr, eid, mask = sample_neighbors(
+        rel, ids, fanout=16, rng=jax.random.PRNGKey(3), mode="uniform"
+    )
+    adj = adj_sets(rel)
+    src_a, dst_a = np.asarray(rel.src), np.asarray(rel.dst)
+    for d in range(num_dst):
+        m = np.asarray(mask[d])
+        if d in adj:
+            assert m.all()
+            assert set(np.asarray(nbr[d]).tolist()) <= adj[d]
+            for s_, e_ in zip(np.asarray(nbr[d])[m], np.asarray(eid[d])[m]):
+                assert src_a[e_] == s_ and dst_a[e_] == d
+        else:
+            assert not m.any()
+
+    # Determinism: same key -> same draws.
+    nbr2, _, _ = sample_neighbors(
+        rel, ids, fanout=16, rng=jax.random.PRNGKey(3), mode="uniform"
+    )
+    assert (np.asarray(nbr) == np.asarray(nbr2)).all()
+
+    # Exclude every edge of the hub: its draws must all be masked out.
+    excl = jnp.asarray(np.where(dst_a == 0)[0].astype(np.int32))
+    flags = exclusion_flags(rel, excl)
+    _, _, mask_x = sample_neighbors(
+        rel, ids, fanout=16, rng=jax.random.PRNGKey(3), mode="uniform",
+        exclude_flags=flags,
+    )
+    assert not np.asarray(mask_x[0]).any()
+    assert np.asarray(mask_x[1]).all()
