@@ -15,6 +15,7 @@ import click
 from gnn_recsys_tpu.config import DataPaths, FixedParams, HyperParams, SPECIFIC
 from gnn_recsys_tpu.data.io import save_txt
 from gnn_recsys_tpu.hpsearch import run_search
+from gnn_recsys_tpu.utils.logging import get_logger
 from gnn_recsys_tpu.trial import run_trial
 
 
@@ -57,22 +58,38 @@ def main(from_beginning, visualization, remove, num_epochs, start_epoch,
         include_sport=bool(path_kwargs.get("item_sport_path")),
     )
 
+    from gnn_recsys_tpu.trial import SAVE_THRESHOLDS
+
+    best_recall = SAVE_THRESHOLDS.get(item_id_type, 0.08)
+
     def fitness(hyper: HyperParams) -> float:
+        nonlocal best_recall
+        # models/best holds exactly the best-so-far run: gate each trial's
+        # save on beating both the reference's acceptance threshold
+        # (main.py:404-405) and every previous trial, so successive
+        # passing-but-worse trials can't clobber it.
         result = run_trial(
             fixed,
             hyper,
             paths=paths,
-            save_dir=f"{logdir}/models/best" if True else None,
+            save_dir=f"{logdir}/models/best",
+            save_threshold=best_recall,
             plots_dir=f"{logdir}/plots" if visualization else None,
             verbose=True,
         )
-        save_txt(
+        best_recall = max(best_recall, result.recall)
+        line = (
             f"hyper={hyper} recall={result.recall:.4f} "
             f"precision={result.precision:.4f} coverage={result.coverage:.4f} "
             f"recall_purchase={result.recall_purchase:.4f} "
-            f"time={result.train_time_s:.0f}s",
-            paths.result_filepath,
+            f"time={result.train_time_s:.0f}s"
         )
+        if result.inference_recall is not None:
+            line += f" inference_recall={result.inference_recall:.4f}"
+        if result.inference_recall_all_users is not None:
+            line += (" inference_recall_all_users="
+                     f"{result.inference_recall_all_users:.4f}")
+        save_txt(line, paths.result_filepath)
         return result.recall
 
     state = run_search(
@@ -80,7 +97,9 @@ def main(from_beginning, visualization, remove, num_epochs, start_epoch,
         from_beginning=from_beginning, verbose=True,
     )
     best = state.best
-    click.echo(f"best recall: {-best.objective:.4f}\nbest hyper: {best.hyper}")
+    log = get_logger(__name__)
+    log.info("best recall: %.4f", -best.objective)
+    log.info("best hyper: %s", best.hyper)
 
 
 if __name__ == "__main__":

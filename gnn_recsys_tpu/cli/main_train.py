@@ -21,6 +21,7 @@ from gnn_recsys_tpu.config import FixedParams, HyperParams, SPECIFIC
 from gnn_recsys_tpu.data.io import read_data, save_txt
 from gnn_recsys_tpu.data.presplit import presplit_data
 from gnn_recsys_tpu.trial import run_trial
+from gnn_recsys_tpu.utils.logging import get_logger
 
 
 @click.command()
@@ -101,6 +102,7 @@ def main(interactions_path, item_feat_path, user_feat_path, item_sport_path,
         f"time={result.train_time_s:.0f}s saved_to={result.saved_to}"
     )
     save_txt(msg, result_filepath)
+    get_logger(__name__).info(msg)
     click.echo(msg)
 
 

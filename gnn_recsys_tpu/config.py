@@ -91,6 +91,11 @@ class FixedParams:
     remove_false_negative: bool = True
     remove_train_eids: bool = False
     remove_on_inference: float = 0.7
+    # In-loop inference evaluation after each trial (reference
+    # utils_data.py:98, main.py:418-436): 0 = off, 1 = re-evaluate on a
+    # rebuilt graph with ``remove_on_inference`` user sampling, 2 = also
+    # re-evaluate with 710-day windows ("all users").
+    run_inference: int = 1
     explore: bool = True
     num_choices: int = 10
     k: int = 10

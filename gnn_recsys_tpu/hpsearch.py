@@ -11,8 +11,7 @@ Optimizer: a pure-numpy GP-EI surrogate loop (:mod:`gnn_recsys_tpu.gp_opt`
 — Matern-5/2 GP, one-hot categorical encoding, EI acquisition), the same
 algorithm as the reference's ``gp_minimize(acq_func='EI')``.
 ``optimizer='random'`` falls back to defaults-first + uniform exploration +
-incumbent perturbation; if ``skopt`` is importable it can be used instead
-(``use_skopt=True``).
+incumbent perturbation.
 """
 
 from __future__ import annotations
@@ -26,6 +25,12 @@ from typing import Callable, Dict, List, Optional, Tuple
 import numpy as np
 
 from gnn_recsys_tpu.config import HyperParams
+
+
+def _logger():
+    from gnn_recsys_tpu.utils.logging import get_logger
+
+    return get_logger(__name__)
 
 # The 14-dim space, reference main.py:485-507.
 SEARCH_SPACE: Dict[str, Tuple] = {
@@ -113,7 +118,6 @@ def run_search(
     from_beginning: bool = False,
     seed: int = 46,
     exploit_prob: float = 0.3,
-    use_skopt: bool = False,
     optimizer: str = "gp",
     verbose: bool = False,
 ) -> SearchState:
@@ -128,12 +132,6 @@ def run_search(
     ``from_beginning`` (reference main.py:587-606); on resume the GP is
     re-seeded with every completed trial.
     """
-    if use_skopt:
-        try:
-            import skopt  # noqa: F401
-        except ImportError:
-            use_skopt = False
-
     state = SearchState(trials=[], seed=seed)
     if not from_beginning:
         ck = latest_checkpoint(logdir)
@@ -171,8 +169,8 @@ def run_search(
             pickle.dump(state, f)
         if verbose:
             best = state.best
-            print(
-                f"trial {len(state.trials)}: recall={recall:.4f} "
-                f"best={-best.objective:.4f}"
+            _logger().info(
+                "trial %d: recall=%.4f best=%.4f",
+                len(state.trials), recall, -best.objective,
             )
     return state

@@ -107,7 +107,7 @@ def gather_mean_pallas(
             pl.BlockSpec(
                 (tile_rows, k), lambda t: (t, 0), memory_space=pltpu.SMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # h_src stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # h_src stays in HBM
             pl.BlockSpec(
                 (tile_rows, k), lambda t: (t, 0), memory_space=pltpu.VMEM
             ),

@@ -50,6 +50,13 @@ class TrialResult:
     history: Dict
     train_time_s: float
     saved_to: Optional[str] = None
+    # In-loop inference eval (reference main.py:418-436): recall of the
+    # trained weights on a graph REBUILT with remove_on_inference user
+    # sampling (robustness to a different data window); populated when
+    # fixed.run_inference > 0.  The all-users variant rebuilds with
+    # 710-day windows (run_inference > 1).
+    inference_recall: Optional[float] = None
+    inference_recall_all_users: Optional[float] = None
 
 
 def build_model(
@@ -178,6 +185,7 @@ def run_trial(
             gd.adjacency_dict.get("purchases_src", gd.adjacency_dict.get("user_item_src")),
             gd.adjacency_dict.get("purchases_dst", gd.adjacency_dict.get("user_item_dst")),
         ),
+        start_epoch=fixed.start_epoch,
         verbose=verbose,
     )
 
@@ -248,6 +256,44 @@ def run_trial(
             },
         )
         saved_to = save_dir
+
+    # In-loop inference evaluation (reference main.py:418-436): rebuild
+    # the data under the inference regime and re-evaluate the trained
+    # weights — robustness to a different data window.  The model is
+    # parametric over the graph, so the same params apply directly.
+    inference_recall = inference_recall_all = None
+    if fixed.run_inference > 0:
+        from gnn_recsys_tpu.inference_eval import inference_fn
+
+        raw_inputs = dataframes if dataframes is not None else dict(
+            train=paths.train_path,
+            test=paths.test_path,
+            item_sport=paths.item_sport_path or None,
+            user_sport=paths.user_sport_path or None,
+            sport_sportg=paths.sport_sportg_path or None,
+            item_feat=paths.item_feat_path,
+            user_feat=paths.user_feat_path,
+            sport_feat=paths.sport_feat_path or None,
+            sport_onehot=paths.sport_onehot_path or None,
+        )
+        _, inference_recall, _ = inference_fn(
+            state.params, model, fixed, hyper, raw_inputs,
+            remove_on_inference=fixed.remove_on_inference,
+        )
+        if verbose:
+            print(f"inference eval (remove={fixed.remove_on_inference}): "
+                  f"recall@{fixed.k}={inference_recall:.4f}")
+        if fixed.run_inference > 1:
+            # "For all users": 710-day windows (reference main.py:426-436).
+            _, inference_recall_all, _ = inference_fn(
+                state.params, model, fixed, hyper, raw_inputs,
+                remove_on_inference=fixed.remove_on_inference,
+                days_of_purchases=710, days_of_clicks=710,
+                lifespan_of_items=710,
+            )
+            if verbose:
+                print(f"inference eval (all users, 710-day windows): "
+                      f"recall@{fixed.k}={inference_recall_all:.4f}")
 
     if check_embedding:
         # Qualitative evaluation (reference main.py:314-400): example recs,
@@ -320,4 +366,6 @@ def run_trial(
         history=history,
         train_time_s=time.perf_counter() - t0,
         saved_to=saved_to,
+        inference_recall=inference_recall,
+        inference_recall_all_users=inference_recall_all,
     )

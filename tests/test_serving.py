@@ -1,6 +1,7 @@
 """Serving stack tests: graph serialization, checkpointing, trial runner,
 CLIs (click test runner), HP search, qualitative evaluation."""
 
+import dataclasses
 import json
 import os
 
@@ -156,6 +157,23 @@ def test_run_trial_on_dataframes(tmp_path):
     assert np.isfinite(result.recall)
     assert result.train_time_s > 0
     assert len(result.history["train_loss"]) == 3
+    # In-loop inference eval ran (run_inference defaults to 1, reference
+    # utils_data.py:98): recall of the same weights on a graph rebuilt
+    # with remove_on_inference user sampling.
+    assert result.inference_recall is not None
+    assert np.isfinite(result.inference_recall)
+    assert result.inference_recall_all_users is None  # run_inference == 1
+
+    # start_epoch plumbs through to the training loop: epochs
+    # [start_epoch, num_epochs) run (reference main.py:537 -> run.py:83).
+    fixed2 = dataclasses.replace(fixed, start_epoch=1, run_inference=0)
+    result2 = run_trial(
+        fixed2, hyper,
+        dataframes=dict(train=tr, test=te, item_feat=itf, user_feat=uf),
+        neg_pool_size=32,
+    )
+    assert len(result2.history["train_loss"]) == 2
+    assert result2.inference_recall is None  # run_inference == 0
 
 
 def test_hpsearch_resume(tmp_path):
