@@ -100,6 +100,7 @@ def get_metrics_at_k(
     popularity: Optional[jax.Array] = None,
     weight_popularity: float = 1.0,
     backend: str = "auto",
+    already_bought_cap: Optional[int] = None,
 ) -> Tuple[float, float, float]:
     """End-to-end metric computation (reference ``get_metrics_at_k``,
     src/metrics.py:110-134): recs for the unique ground-truth users, then
@@ -109,6 +110,16 @@ def get_metrics_at_k(
     kernel on real TPUs (~2x the XLA chunked matmul+top_k at catalog
     scale, exact-index tested) and falls back to 'xla' elsewhere or for
     custom ``score_fn``s (the MLP head).
+
+    already_bought_cap: bound on the padded already-bought row width.
+    Uncapped (None, default) filtering is EXACT for every user — hub rows
+    beyond ``recs.OVERFETCH_MAX_ROW`` route through the mask-then-rank
+    path — but the membership table is O(num_users * max_degree) HBM,
+    which a power-law catalog can blow up.  A cap keeps each user's
+    ``cap`` MOST RECENT purchases (pairs arrive in interaction order and
+    the packer keeps the last K — coo_to_padded_csc), so a capped hub
+    user may be re-recommended items bought further back than their last
+    ``cap`` purchases; all users at or under the cap stay exact.
     """
     if backend == "auto":
         dev = jax.devices()[0]
@@ -127,7 +138,8 @@ def get_metrics_at_k(
         if user_ids.shape[0]:
             n_src = max(n_src, int(jnp.max(user_ids)) + 1)
         already_table = build_padded_pair_set(
-            already_bought[0], already_bought[1], num_src=n_src
+            already_bought[0], already_bought[1], num_src=n_src,
+            cap=already_bought_cap,
         )
     recs = get_recs(
         user_emb,

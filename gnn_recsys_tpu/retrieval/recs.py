@@ -8,13 +8,21 @@ numpy and filtered already-bought items in a Python list scan.
 Here: users are processed in static-size chunks on device; scores are one
 ``[C, I]`` matmul of L2-normalized embeddings (cosine), with the optional
 popularity boost ``softmax(ratings) + w * popularity`` per row
-(``src/metrics.py:69-72``).  Already-bought filtering uses OVER-FETCH:
-bought items can occupy at most ``max_row`` top slots, so ranking
-top-``(k + max_row)`` and dropping bought entries afterwards (padded-row
-membership compare, :mod:`gnn_recsys_tpu.ops.membership`) yields exactly
-the reference's filter-after-ranking top-k — with no ``[C, I]`` dense
-mask scatter, which measures pathologically slow on TPU (~87 ms per
-128-user chunk at a 100k catalog vs sub-ms for the compare).
+(``src/metrics.py:69-72``).  Already-bought filtering routes by row width
+(both routes exact, both equal to the reference's filter-after-ranking):
+
+* ``max_row <= OVERFETCH_MAX_ROW``: OVER-FETCH — bought items can occupy
+  at most ``max_row`` top slots, so rank top-``(k + max_row)`` and drop
+  bought entries afterwards (padded-row membership compare,
+  :mod:`gnn_recsys_tpu.ops.membership`).  Avoids the ``[C, I]`` dense
+  mask, which measures ~87 ms per 128-user chunk at a 100k catalog on
+  v5e vs sub-ms for the compare.
+* ``max_row > OVERFETCH_MAX_ROW`` (power-law hub buyers): MASK-THEN-RANK
+  — scatter each chunk user's bought row into a ``[C, I]`` ``-inf`` mask
+  and ``top_k(k)``.  Over-fetch cost scales with ``max_row`` (fetch
+  width, membership compare, and the Pallas kernel's unrolled extraction
+  loop), so an uncapped hub must not set it; the dense mask is bounded
+  by the catalog size instead.
 """
 
 from __future__ import annotations
@@ -28,6 +36,20 @@ from gnn_recsys_tpu.models.layers import l2_normalize
 from gnn_recsys_tpu.ops.membership import PaddedPairSet
 
 ScoreFn = Callable[[jax.Array, jax.Array], jax.Array]  # ([C,D],[I,D]) -> [C,I]
+
+# Widest already-bought row for which retrieval uses over-fetch
+# (top-(k+max_row) then drop bought).  Over-fetch cost grows with max_row
+# on BOTH backends — top_k fetch width and the [U, fetch, max_row]
+# membership compare in XLA; an unrolled fetch-length extraction loop in
+# the Pallas kernel (compile time AND runtime) — so a power-law hub user
+# with thousands of purchases must not set the fetch.  Beyond the
+# threshold, retrieval switches to mask-then-rank: scatter each chunk
+# user's bought row into a [C, I] -inf mask (O(C*max_row) scatter), then
+# top_k(k).  The reference filters AFTER ranking (src/metrics.py:74-76),
+# which is equivalent: masked items can only push unbought items UP the
+# ranking, never change their relative order.  Exact for every user on
+# both routes.
+OVERFETCH_MAX_ROW = 256
 
 
 def cosine_score_fn(u_chunk: jax.Array, item_emb: jax.Array) -> jax.Array:
@@ -129,26 +151,34 @@ def get_recs(
         optional popularity boost — custom score_fn needs 'xla').
     Returns [U, k] int32 item ids.
     """
+    mask_rows = (
+        already_bought is not None
+        and remove_already_bought
+        and already_bought.max_row > 0
+    )
+    hub_rows = mask_rows and already_bought.max_row > OVERFETCH_MAX_ROW
     if backend == "pallas":
         if score_fn is not None:
             raise ValueError(
                 "pallas backend supports cosine scoring only (use the XLA "
                 "backend for custom score functions, e.g. the MLP head)"
             )
-        return _get_recs_pallas(
-            user_emb, item_emb, user_ids, k, already_bought,
-            remove_already_bought, popularity=popularity,
-            weight_popularity=weight_popularity,
-        )
+        if not hub_rows:
+            return _get_recs_pallas(
+                user_emb, item_emb, user_ids, k, already_bought,
+                remove_already_bought, popularity=popularity,
+                weight_popularity=weight_popularity,
+            )
+        # Power-law hub rows: the fused kernel's fetch-width extraction
+        # loop is unrolled k+max_row times — route through the XLA
+        # mask-then-rank path instead (bounded by catalog size).
     if score_fn is None:
         score_fn = cosine_score_fn
     num_items = item_emb.shape[0]
-    mask_rows = (
-        already_bought is not None
-        and remove_already_bought
-        and already_bought.max_row > 0
+    fetch = (
+        k if hub_rows
+        else min(k + (already_bought.max_row if mask_rows else 0), num_items)
     )
-    fetch = min(k + (already_bought.max_row if mask_rows else 0), num_items)
     u = user_ids.shape[0]
     c = min(chunk_size, max(u, 1))
     pad = (-u) % c
@@ -164,11 +194,23 @@ def get_recs(
             ratings = jax.nn.softmax(ratings, axis=-1) + (
                 popularity[None, :] * weight_popularity
             )
+        if hub_rows:
+            from gnn_recsys_tpu.ops.membership import scatter_row_mask
+
+            bought = scatter_row_mask(already_bought, uids, num_items)
+            ratings = jnp.where(bought, -jnp.inf, ratings)
+            vals, top_items = jax.lax.top_k(ratings, fetch)
+            # Fewer than k unbought items (a hub who bought nearly the
+            # whole catalog): trailing -inf slots become -1 sentinels,
+            # same contract as _drop_bought.
+            return jnp.where(
+                jnp.isfinite(vals), top_items, -1
+            ).astype(jnp.int32)
         _, top_items = jax.lax.top_k(ratings, fetch)
         return top_items.astype(jnp.int32)
 
     idx = jax.lax.map(one_chunk, ids_chunks).reshape(-1, fetch)[:u]
-    if not mask_rows:
+    if hub_rows or not mask_rows:
         return idx[:, :k]
     return _drop_bought(idx, user_ids, already_bought, k)
 
