@@ -61,6 +61,14 @@ class Relation:
     # (11 sequential binary-search iterations, each a scalar gather) on
     # v5e at the bench config.  None on relations built by old writers.
     eid_pos: Optional[jax.Array] = None
+    # Optional LANE-PACKED leaf feature cache, [N_dst, K, F]:
+    # ``nbr_feat[d, k] = src_features[nbr[d, k]]`` (zeros at padding).
+    # Node features are constant during training, so the deepest (leaf)
+    # tree level can replace its per-draw random feature gathers — each a
+    # ~16-byte row that still pulls a full 128-lane tile from HBM — with
+    # ONE contiguous row read per parent plus an in-register slot select.
+    # Built by :func:`attach_leaf_features`; never serialized (derived).
+    nbr_feat: Optional[jax.Array] = None
 
     @property
     def num_edges(self) -> int:
@@ -266,6 +274,50 @@ def build_hetero_graph(
         ndata=nd,
         num_nodes_tuple=tuple(sorted(num_nodes_dict.items())),
     )
+
+
+def attach_leaf_features(
+    graph: HeteroGraph,
+    features: Mapping[str, jax.Array],
+    dtype=None,
+    max_width: int = 64,
+) -> HeteroGraph:
+    """Return a graph whose relations carry the lane-packed leaf cache.
+
+    ``nbr_feat[d, k] = features[src_ntype][nbr[d, k]]`` (zeros at padding),
+    shape ``[N_dst, K, F]`` per relation.  Node features are CONSTANT
+    during training, so this is built once; the sampled-tree forward's
+    deepest level then reads one contiguous ``K*F``-lane row per parent
+    node instead of ``fanout`` random 16-byte rows (each of which pulls a
+    full 128-lane HBM tile — measured ~28% of the production step on v5e,
+    benchmarks/profile_trace.py).
+
+    dtype: storage dtype; pass the model compute dtype (e.g. bf16) to
+        halve the cache's HBM footprint and row-read bytes — bit-identical
+        to the unpacked path when the model casts gathered features to the
+        same dtype before use.  Default: the feature array's dtype.
+    max_width: skip relations whose padded width K exceeds this (the
+        cache is O(N_dst * K * F) HBM; power-law uncapped rows would blow
+        it up, and the flat-gather sampler path already serves them).
+    """
+    new_rels = {}
+    for etype, rel in graph.rels.items():
+        feats = features.get(etype[0])
+        if feats is None or rel.max_fanout > max_width:
+            new_rels[etype] = rel
+            continue
+        f = jnp.asarray(feats)
+        if dtype is not None:
+            f = f.astype(dtype)
+        packed = jnp.take(f, jnp.maximum(rel.nbr, 0), axis=0)
+        packed = packed * rel.nbr_mask[..., None].astype(packed.dtype)
+        # Stored 2-D [N, K*F]: a 3-D [N, K, F] constant tempts XLA into a
+        # transposed {0,2,1} layout (N minor) that turns the row gather
+        # into fully-scattered reads — measured 2.8 ms per gather at the
+        # bench config vs ~0.2 ms for the row-major 2-D form.
+        packed = packed.reshape(packed.shape[0], -1)
+        new_rels[etype] = rel.replace(nbr_feat=packed)
+    return graph.replace(rels=new_rels)
 
 
 def remove_edges(

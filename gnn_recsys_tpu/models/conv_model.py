@@ -499,15 +499,39 @@ class ConvModel(nn.Module):
                 and etype[2] in ("user", "item")
                 and "occurrence" in rel.edata
             )
-            nbr, eid, mask = sample_neighbors(
-                rel,
-                ids,
-                fanout=max(fanout, 1),
-                rng=keys[2 * j],
-                mode="full" if fanout == -1 else "uniform",
-                with_eids=need_eid,
-                **_exclusion_kwargs(excl),
+            # Lane-packed FULL-fanout leaf: when the relation carries the
+            # nbr_feat cache (attach_leaf_features) and this level takes
+            # every neighbor (the reference's default full sampler), read
+            # ONE contiguous [K*F] feature row per parent instead of K
+            # random 16-byte gathers that each pull a full 128-lane HBM
+            # tile.  Sampled (uniform) leaves keep the unpacked path —
+            # the slot select costs more than the gathers it avoids
+            # (see full_neighbors_packed).  Identical values: masked
+            # slots differ only where the mask zeroes them.
+            raw_packed = None
+            packed_ok = (
+                level == 1 and fanout == -1 and rel.nbr_feat is not None
+                and not need_eid and (excl is None or excl.ndim == 2)
             )
+            if packed_ok:
+                from gnn_recsys_tpu.ops.sampling import (
+                    full_neighbors_packed,
+                )
+
+                raw_packed, mask = full_neighbors_packed(
+                    rel, ids, nbr_table=excl,
+                )
+                nbr = eid = None
+            else:
+                nbr, eid, mask = sample_neighbors(
+                    rel,
+                    ids,
+                    fanout=max(fanout, 1),
+                    rng=keys[2 * j],
+                    mode="full" if fanout == -1 else "uniform",
+                    with_eids=need_eid,
+                    **_exclusion_kwargs(excl),
+                )
             if (
                 level == 1
                 and self.embedding_layer
@@ -523,7 +547,7 @@ class ConvModel(nn.Module):
                 # of per message.  Zero-degree rows must stay 0 (the
                 # unfolded path yields 0, the commuted affine would yield
                 # its bias), hence the count>0 guard.
-                raw = jnp.take(
+                raw = raw_packed if raw_packed is not None else jnp.take(
                     features[etype[0]], nbr.reshape(-1), axis=0
                 ).reshape(*nbr.shape, -1)
                 m = mask[..., None].astype(raw.dtype)
@@ -538,10 +562,18 @@ class ConvModel(nn.Module):
                 )
                 continue
             if self._can_fold_leaf(layer, etype[0], level, deterministic):
-                raw = jnp.take(
+                raw = raw_packed if raw_packed is not None else jnp.take(
                     features[etype[0]], nbr.reshape(-1), axis=0
                 ).reshape(*nbr.shape, -1)
                 h_nbr = self._leaf_transform_composed(layer, etype[0], raw)
+            elif raw_packed is not None:
+                # Packed leaf, generic aggregators: same chain as the
+                # level-0 dispatch (embed if configured) + transform_src,
+                # fed from the cached rows.
+                x = raw_packed
+                if self.embedding_layer and etype[0] in self.embed:
+                    x = self.embed[etype[0]](x)
+                h_nbr = layer.transform_src(x, deterministic=deterministic)
             else:
                 h_nbr = self._tree_dispatch(
                     graph, features, exclude_eids, fanouts, deterministic,

@@ -179,6 +179,50 @@ def sample_neighbors(
     return nbr, eid, mask
 
 
+def full_neighbors_packed(
+    rel: Relation,
+    ids: jax.Array,
+    nbr_table: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Full-neighbor RAW FEATURES from the lane-packed leaf cache
+    (``rel.nbr_feat``, :func:`attach_leaf_features`) — no per-slot random
+    feature gathers.
+
+    The deepest level of a FULL-fanout tree (the reference's default
+    ``MultiLayerFullNeighborSampler``) needs every neighbor's feature row:
+    gather the parent's packed ``[K*F]`` feature row (one contiguous
+    read) plus its neighbor-id row (validity/exclusion — the row the
+    unpacked sampler reads anyway), replacing K random 16-byte gathers
+    per parent, each of which pulls a full 128-lane HBM tile.
+
+    SAMPLED (uniform) leaves intentionally have no packed path: selecting
+    ``fanout`` of K slots from the gathered rows costs more in one-hot
+    reduce + relayout than the random gathers it avoids (measured on v5e
+    at the bench config: 13.8 vs 8.9 ms/step) — the win only exists when
+    ALL slots are consumed.
+
+    Returns ``(raw [*s, K, F], mask [*s, K])``.
+    ``nbr_table``: optional sign-marked copy of ``rel.nbr``
+    (:func:`exclusion_table`); excluded slots are masked exactly like the
+    unpacked path.  Callers needing per-edge features (edge-weighted
+    aggregators) must use :func:`sample_neighbors`.
+    """
+    if rel.nbr_feat is None:
+        raise ValueError(
+            "relation has no nbr_feat cache; call attach_leaf_features"
+        )
+    kmax = rel.max_fanout
+    table = rel.nbr if nbr_table is None else nbr_table
+    row = jnp.take(table, ids.reshape(-1), axis=0).reshape(*ids.shape, kmax)
+    # nbr_feat is stored [N, K*F] (row-major — a 3-D constant tempts XLA
+    # into a transposed layout that scatters the row reads); reshape the
+    # gathered rows back to [*, K, F].
+    feat_row = jnp.take(
+        rel.nbr_feat, ids.reshape(-1), axis=0
+    ).reshape(*ids.shape, kmax, rel.nbr_feat.shape[-1] // kmax)
+    return feat_row, row >= 0  # valid and not sign-marked excluded
+
+
 def exclusion_table(rel: Relation, eids: jax.Array) -> jax.Array:
     """[N_dst, K] copy of ``rel.nbr`` with excluded slots sign-marked.
 

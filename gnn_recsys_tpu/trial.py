@@ -171,6 +171,16 @@ def run_trial(
         nt: g.ndata[nt]["features"] for nt in g.ntypes
         if "features" in g.ndata[nt]
     }
+    if fixed.neighbor_sampler == "full":
+        # Lane-packed leaf feature cache: full-fanout leaves read one
+        # contiguous [K*F] row per parent instead of K random 16-byte
+        # gathers (graph/hetero.py:attach_leaf_features; value-identical).
+        from gnn_recsys_tpu.graph.hetero import attach_leaf_features
+
+        split = dataclasses.replace(
+            split,
+            train_graph=attach_leaf_features(split.train_graph, features),
+        )
     state, history = train_minibatch(
         model,
         split.train_graph,

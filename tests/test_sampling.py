@@ -397,3 +397,55 @@ def test_uniform_wide_row_fallback(data):
     )
     assert not np.asarray(mask_x[0]).any()
     assert np.asarray(mask_x[1]).all()
+
+
+@pytest.mark.parametrize("agg", ["mean", "mean_nn", "pool_nn"])
+@pytest.mark.parametrize("embedding_layer", [True, False])
+@pytest.mark.parametrize("fanout_mode", ["full"])
+def test_packed_leaf_matches_unpacked(data, agg, embedding_layer, fanout_mode):
+    """attach_leaf_features must not change the full-fanout forward: the
+    packed contiguous row reads return exactly the feature rows the
+    per-slot random gathers did (f32, same seeds, exclusion active).
+    Sampled (uniform) leaves have no packed path by design — the slot
+    select costs more than the gathers it avoids (full_neighbors_packed
+    docstring) — so only mode='full' diverges in implementation."""
+    import dataclasses as dc
+
+    from gnn_recsys_tpu.graph.hetero import attach_leaf_features
+    from gnn_recsys_tpu.train.full_batch import init_model
+
+    g = data.graph
+    model = ConvModel(
+        canonical_etypes=g.canonical_etypes,
+        dims=(("user", 8), ("item", 8), ("sport", 8), ("hidden", 16),
+              ("out", 8)),
+        n_layers=3, aggregator_type=agg, aggregator_hetero="sum",
+        pred="cos", dropout=0.0, embedding_layer=embedding_layer,
+    )
+    feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
+    params = init_model(model, g, feats, seed=0)
+    gp = attach_leaf_features(g, feats)
+    for et in g.canonical_etypes:
+        assert gp.rels[et].nbr_feat is not None
+
+    seeds = {"user": jnp.arange(12, dtype=jnp.int32),
+             "item": jnp.arange(10, dtype=jnp.int32)}
+    n_conv = model.num_conv_layers
+    fanouts = tuple(
+        ([4, 3, 2][:n_conv]) if fanout_mode == "uniform" else [-1] * n_conv
+    )
+    rng = jax.random.PRNGKey(7)
+    # Exclude a few edges so the sign-marked-table path is exercised too.
+    excl = {et: jnp.arange(3, dtype=jnp.int32) for et in g.canonical_etypes}
+
+    def run(graph):
+        return model.apply(
+            params, graph, feats, seeds, fanouts, rng,
+            exclude_eids=excl, method=model.sampled_repr,
+        )
+
+    ref = run(g)
+    got = run(gp)
+    for nt in ref:
+        np.testing.assert_array_equal(np.asarray(ref[nt]),
+                                      np.asarray(got[nt]), err_msg=nt)
