@@ -258,12 +258,13 @@ def child(mode: str, budget_s: float) -> None:
         edge_batch_size=2048 if on_accel else 512,
         fanouts=(8, 4),
         neg_sample_size=2500,  # reference default (main.py:511)
-        # dense_pool ranks EVERY pool item per positive (4096 > the
-        # reference's 2500 negatives, same uniform marginal) as one
-        # [B, P] matmul — measured 42.7 vs 170.8 ms/step for the
-        # index-sampled shared_pool at this config on v5e.
+        # dense_pool ranks EVERY pool item per positive as one [B, P]
+        # matmul — measured 42.7 vs 170.8 ms/step for the index-sampled
+        # shared_pool at this config on v5e.  Pool 2560 = the reference's
+        # 2500 negatives per positive rounded up to a 128-lane multiple
+        # (4096 was pure padding: 1536 extra pool-item trees per step).
         neg_mode="dense_pool",
-        neg_pool_size=4096 if on_accel else 512,
+        neg_pool_size=2560 if on_accel else 512,
     )
     params = init_model(model, g, feats, seed=0)
     state = TrainState.create(

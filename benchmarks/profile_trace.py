@@ -122,7 +122,7 @@ def main():
     else:
         cfg = MinibatchConfig(
             edge_batch_size=2048, fanouts=(8, 4), neg_sample_size=2500,
-            neg_mode="dense_pool", neg_pool_size=4096,
+            neg_mode="dense_pool", neg_pool_size=2560,
         )
         state = TrainState.create(
             apply_fn=model.apply, params=params, tx=optax.adam(1e-3)

@@ -451,7 +451,10 @@ class ConvModel(nn.Module):
         b_eff = jnp.matmul(eb[0], w2)
         w_eff = jnp.matmul(eb[1:] - eb[0], w2)  # W1 @ W2
         # Match the unfolded path's computation dtype (embed casts inputs
-        # to the module dtype, e.g. bf16 on the MXU).
+        # to the module dtype, e.g. bf16 on the MXU).  Kept in the
+        # caller's N-D shape: flattening to a 2-D matmul forces a
+        # relayout copy that costs more than the conv-style lowering
+        # saves (measured 10.5 vs 7.5 ms/step).
         return nn.relu(jnp.matmul(raw.astype(eb.dtype), w_eff) + b_eff)
 
     def _tree_level(
