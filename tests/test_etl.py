@@ -295,6 +295,7 @@ def test_train_valid_split_semantics():
     assert split2.train_eids[ET_BUYS].min() == int(e_train * 0.5)
 
 
+@pytest.mark.slow
 def test_etl_to_training_end_to_end():
     """CSV-level dataframes -> GraphData -> split -> short minibatch run."""
     rng = np.random.default_rng(0)

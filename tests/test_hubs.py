@@ -85,6 +85,7 @@ def test_capped_pair_set_bounds_memory_and_keeps_recent():
 
 
 @pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.slow
 def test_hub_overfetch_saturates_catalog_and_stays_exact(backend):
     """k + max_row > catalog: over-fetch clamps to the whole catalog and
     the filtered top-k still matches a numpy filter-after-rank oracle."""

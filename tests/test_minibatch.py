@@ -4,6 +4,7 @@ epoch-0 semantics, per-edge vs shared-pool negatives."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.retrieval.metrics import recs_to_metrics
@@ -47,6 +48,7 @@ def test_iter_edge_batches_covers_and_wraps():
     assert len(np.unique(seen)) == 100  # every buy edge appears
 
 
+@pytest.mark.slow
 def test_minibatch_training_learns():
     data, g, model, feats = _setup()
     train_eids = {
@@ -123,6 +125,7 @@ def test_per_edge_negative_mode_runs():
     assert np.isfinite(hist["train_loss"]).all()
 
 
+@pytest.mark.slow
 def test_validation_and_early_stopping():
     data, g, model, feats = _setup(num_users=60, num_items=30)
     n_buys = g.num_edges(ET_BUYS)
@@ -145,6 +148,7 @@ def test_validation_and_early_stopping():
     assert np.isfinite(hist["valid_loss"]).all()
 
 
+@pytest.mark.slow
 def test_remat_levels_identical_loss_and_grads():
     """remat_levels=True must not change the math — only the backward's
     memory schedule.  Compare one full step's loss and updated params."""
@@ -197,6 +201,7 @@ def test_remat_levels_identical_loss_and_grads():
                                    atol=2e-7)
 
 
+@pytest.mark.slow
 def test_device_epoch_matches_host_loop_learning():
     """The lax.scan device-epoch path and the host batch loop implement the
     same regime: same per-etype batch shapes, same step math; both must
@@ -226,6 +231,7 @@ def test_device_epoch_matches_host_loop_learning():
     )
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint_is_exact(tmp_path):
     # Mid-training resume (SURVEY §5: the reference's start_epoch is
     # vestigial — no weight reload): 4 straight epochs must equal
@@ -284,6 +290,7 @@ def test_resume_from_checkpoint_is_exact(tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_dense_pool_mode_learns_and_masks():
     # dense_pool: every positive ranks the whole pool (one [B, P] matmul,
     # no index gathers); must train and must apply the false-negative

@@ -79,6 +79,7 @@ def world():
     return data, g, model, feats, state, cfg, etypes, batch, tables
 
 
+@pytest.mark.slow
 def test_gspmd_step_equals_single_device(world):
     data, g, model, feats, state, cfg, etypes, batch, tables = world
     rng = jax.random.PRNGKey(7)
@@ -108,6 +109,7 @@ def test_gspmd_step_equals_single_device(world):
                                    rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_shardmap_dp_step_trains_and_is_deterministic(world):
     data, g, model, feats, state, cfg, etypes, batch, tables = world
     mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("data",))
@@ -194,6 +196,7 @@ def test_row_sharded_lookup_a2a_equals_gather():
     )
 
 
+@pytest.mark.slow
 def test_train_minibatch_with_mesh(world):
     """End-to-end DP training through train_minibatch(mesh=...)."""
     from gnn_recsys_tpu.train.minibatch import train_minibatch
@@ -210,6 +213,7 @@ def test_train_minibatch_with_mesh(world):
     assert hist["train_loss"][-1] < hist["train_loss"][0] * 1.5
 
 
+@pytest.mark.slow
 def test_train_minibatch_mesh_row_sharded_matches_replicated(world):
     """PRODUCTION table parallelism: device-epoch training on a 2D
     ('data','model') mesh with the item feature table row-sharded over

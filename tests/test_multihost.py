@@ -14,6 +14,7 @@ import sys
 
 
 import numpy as np
+import pytest
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -27,6 +28,7 @@ def _free_port() -> int:
     return port
 
 
+@pytest.mark.slow
 def test_two_process_gspmd_step_matches_single_process():
     port = _free_port()
     env = {

@@ -3,6 +3,7 @@ the faithful torch reference stack on the SAME synthetic dataset with the
 same hyperparameters and assert recall@10 parity within run variance."""
 
 import numpy as np
+import pytest
 
 from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
@@ -34,6 +35,7 @@ def _world(seed=0):
     return data, g, feats_np, nbr, mask, already
 
 
+@pytest.mark.slow
 def test_recall_parity_with_torch_reference():
     from benchmarks.torch_reference import train_torch_reference
 

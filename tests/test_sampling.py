@@ -92,6 +92,7 @@ def _model_for(g, agg="mean", hetero="sum", n_layers=3):
 
 @pytest.mark.parametrize("agg", ["mean", "pool_nn", "mean_edge"])
 @pytest.mark.parametrize("hetero", ["sum", "mean"])
+@pytest.mark.slow
 def test_sampled_full_fanout_matches_full_graph(data, agg, hetero):
     """THE parity gate: recursion with full fanouts == layer-wise full pass."""
     g = data.graph
@@ -153,6 +154,7 @@ def test_sampled_tree_nodedup_matches_full_graph(data):
     )
 
 
+@pytest.mark.slow
 def test_dedup_duplicate_seeds_identical_rows(data):
     """Dedup'd forward computes each unique node once: duplicated seed ids
     must yield BIT-identical output rows (the tree path samples each
@@ -176,6 +178,7 @@ def test_dedup_duplicate_seeds_identical_rows(data):
     assert not np.array_equal(h[0], h[1])
 
 
+@pytest.mark.slow
 def test_dedup_matches_tree_at_full_fanout(data):
     """With fanout=-1 both paths aggregate the same full neighbor rows."""
     g = data.graph

@@ -85,6 +85,7 @@ def test_save_load_params_round_trip(tmp_path):
     np.testing.assert_array_equal(loaded["b"]["c"], params["b"]["c"])
 
 
+@pytest.mark.slow
 def test_full_train_then_inference_cli(tmp_path):
     """CSV files -> main_train CLI -> run dir -> main_inference CLI."""
     from gnn_recsys_tpu.cli.main_inference import main as infer_cli
@@ -137,6 +138,7 @@ def test_full_train_then_inference_cli(tmp_path):
     assert lines[0].count("it") == 5 or lines[0].count("'") >= 5
 
 
+@pytest.mark.slow
 def test_run_trial_on_dataframes(tmp_path):
     from gnn_recsys_tpu.trial import run_trial
 
@@ -276,6 +278,7 @@ def test_throughput_meter():
     assert rate > 0 and m.mean_edges_per_s > 0
 
 
+@pytest.mark.slow
 def test_run_trial_with_sports(tmp_path):
     """include_sport end-to-end: 10-etype hetero graph through a trial."""
     from gnn_recsys_tpu.data.presplit import presplit_data
