@@ -20,7 +20,7 @@ embedding layer when present, so there are ``n_layers - 1`` conv layers when
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -285,6 +285,7 @@ class ConvModel(nn.Module):
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
         dedup: bool = False,
+        feature_lookup: Optional[Callable] = None,
     ) -> Dict[str, jax.Array]:
         """Minibatch representations via sampled neighbor blocks/trees.
 
@@ -316,6 +317,12 @@ class ConvModel(nn.Module):
             neighborhoods (minibatch edges; reverse relations share edge ids
             by builder invariant, so passing the same ids for the reverse
             etype reproduces ``exclude='reverse_types'``).
+        feature_lookup: optional ``(ntype, flat_ids) -> [len, F]`` row
+            fetcher replacing the local ``jnp.take`` on feature tables —
+            the hook that routes RAW feature reads through a distributed
+            exchange (e.g. ``row_sharded_lookup_a2a`` over a sharded
+            table inside ``shard_map``; see parallel/sharded.py).  Tree
+            path only (dedup=False) and bypasses remat_levels.
         Returns ntype -> [*seed_shape, out_dim].
         """
         n_layers = len(self.layers)
@@ -348,6 +355,10 @@ class ConvModel(nn.Module):
                     translated[et] = v
             exclude_eids = translated
         if dedup:
+            if feature_lookup is not None:
+                raise ValueError(
+                    "feature_lookup is supported on the tree path only"
+                )
             return self._sampled_repr_dedup(
                 graph, features, seeds, fanouts, rng,
                 exclude_eids=exclude_eids, deterministic=deterministic,
@@ -355,6 +366,7 @@ class ConvModel(nn.Module):
         return self._sampled_repr_tree(
             graph, features, seeds, fanouts, rng,
             exclude_eids=exclude_eids, deterministic=deterministic,
+            feature_lookup=feature_lookup,
         )
 
     def _sampled_repr_tree(
@@ -366,6 +378,7 @@ class ConvModel(nn.Module):
         rng: jax.Array,
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
+        feature_lookup: Optional[Callable] = None,
     ) -> Dict[str, jax.Array]:
         n_layers = len(self.layers)
         out = {}
@@ -374,6 +387,7 @@ class ConvModel(nn.Module):
             out[ntype] = self._tree_dispatch(
                 graph, features, exclude_eids, tuple(fanouts), deterministic,
                 n_layers, ntype, ids, keys[i],
+                feature_lookup=feature_lookup,
             )
         return out
 
@@ -388,6 +402,7 @@ class ConvModel(nn.Module):
         ntype: str,
         ids: jax.Array,
         key: jax.Array,
+        feature_lookup: Optional[Callable] = None,
     ) -> jax.Array:
         """Route one tree level through nn.remat when ``remat_levels``.
 
@@ -397,12 +412,14 @@ class ConvModel(nn.Module):
         parameter creation) and at level 0 (a pure gather, nothing to save).
         The forward values are bit-identical either way.
         """
-        if self.remat_levels and level > 0 and not self.is_initializing():
+        if (self.remat_levels and level > 0 and feature_lookup is None
+                and not self.is_initializing()):
             fn = nn.remat(ConvModel._tree_level, static_argnums=(4, 5, 6, 7))
             return fn(self, graph, features, exclude_eids, fanouts,
                       deterministic, level, ntype, ids, key)
         return self._tree_level(graph, features, exclude_eids, fanouts,
-                                deterministic, level, ntype, ids, key)
+                                deterministic, level, ntype, ids, key,
+                                feature_lookup=feature_lookup)
 
     def _can_fold_leaf(
         self, layer, src_ntype: str, level: int, deterministic: bool
@@ -468,11 +485,17 @@ class ConvModel(nn.Module):
         ntype: str,
         ids: jax.Array,
         key: jax.Array,
+        feature_lookup: Optional[Callable] = None,
     ) -> jax.Array:
         from gnn_recsys_tpu.ops.sampling import sample_neighbors
 
+        def fetch_rows(nt, flat_ids):
+            if feature_lookup is not None:
+                return feature_lookup(nt, flat_ids)
+            return jnp.take(features[nt], flat_ids, axis=0)
+
         if level == 0:
-            x = jnp.take(features[ntype], ids.reshape(-1), axis=0)
+            x = fetch_rows(ntype, ids.reshape(-1))
             x = x.reshape(*ids.shape, x.shape[-1])
             if self.embedding_layer and ntype in self.embed:
                 x = self.embed[ntype](x)
@@ -487,7 +510,7 @@ class ConvModel(nn.Module):
         keys = jax.random.split(key, 2 * len(in_etypes) + 1)
         h_self = self._tree_dispatch(
             graph, features, exclude_eids, fanouts, deterministic,
-            level - 1, ntype, ids, keys[-1],
+            level - 1, ntype, ids, keys[-1], feature_lookup=feature_lookup,
         )
         zs = []
         for j, etype in enumerate(in_etypes):
@@ -515,6 +538,7 @@ class ConvModel(nn.Module):
             packed_ok = (
                 level == 1 and fanout == -1 and rel.nbr_feat is not None
                 and not need_eid and (excl is None or excl.ndim == 2)
+                and feature_lookup is None  # cache is local-only
             )
             if packed_ok:
                 from gnn_recsys_tpu.ops.sampling import (
@@ -550,8 +574,8 @@ class ConvModel(nn.Module):
                 # of per message.  Zero-degree rows must stay 0 (the
                 # unfolded path yields 0, the commuted affine would yield
                 # its bias), hence the count>0 guard.
-                raw = raw_packed if raw_packed is not None else jnp.take(
-                    features[etype[0]], nbr.reshape(-1), axis=0
+                raw = raw_packed if raw_packed is not None else fetch_rows(
+                    etype[0], nbr.reshape(-1)
                 ).reshape(*nbr.shape, -1)
                 m = mask[..., None].astype(raw.dtype)
                 count = jnp.sum(mask.astype(raw.dtype), axis=-1)
@@ -565,8 +589,8 @@ class ConvModel(nn.Module):
                 )
                 continue
             if self._can_fold_leaf(layer, etype[0], level, deterministic):
-                raw = raw_packed if raw_packed is not None else jnp.take(
-                    features[etype[0]], nbr.reshape(-1), axis=0
+                raw = raw_packed if raw_packed is not None else fetch_rows(
+                    etype[0], nbr.reshape(-1)
                 ).reshape(*nbr.shape, -1)
                 h_nbr = self._leaf_transform_composed(layer, etype[0], raw)
             elif raw_packed is not None:
@@ -581,6 +605,7 @@ class ConvModel(nn.Module):
                 h_nbr = self._tree_dispatch(
                     graph, features, exclude_eids, fanouts, deterministic,
                     level - 1, etype[0], nbr, keys[2 * j + 1],
+                    feature_lookup=feature_lookup,
                 )
                 h_nbr = layer.transform_src(
                     h_nbr, deterministic=deterministic
@@ -852,6 +877,7 @@ class ConvModel(nn.Module):
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
         dedup: bool = False,
+        feature_lookup: Optional[Callable] = None,
     ):
         """Sampled-tree forward + scoring for one minibatch.
 
@@ -877,6 +903,7 @@ class ConvModel(nn.Module):
             exclude_eids=exclude_eids,
             deterministic=deterministic,
             dedup=dedup,
+            feature_lookup=feature_lookup,
         )
         # All shapes are static, so plain slicing compiles cleanly.
         pos_scores, neg_scores, neg_dsts = {}, {}, {}

@@ -175,6 +175,115 @@ def make_shardmap_dp_step(
     return jax.jit(step)
 
 
+def make_shardmap_tp_dp_step(
+    model: ConvModel,
+    cfg: MinibatchConfig,
+    train_etypes,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: str = "model",
+    row_shard_ntypes: Tuple[str, ...] = ("item",),
+    has_reverse: Optional[Dict] = None,
+) -> Callable:
+    """Explicit-collective 2-D step: data-parallel batches x row-sharded
+    feature tables with ``all_to_all`` lookup exchange — the BASELINE
+    north-star pattern (SURVEY §2.3), end-to-end in a training step.
+
+    Inputs: state/graph/edge_tables replicated; ``row_shard_ntypes``
+    feature tables sharded over ``model_axis`` (leading rows); batch
+    sharded over ``data_axis``.  Inside ``shard_map`` each device runs the
+    full sampled-tree forward for its data shard, but every RAW feature
+    read of a sharded table routes through the model's ``feature_lookup``
+    hook: the frontier ids are split across the model axis, each slice is
+    resolved with :func:`row_sharded_lookup_a2a` (request bucketing →
+    ``all_to_all`` → local gather → ``all_to_all`` back), and an
+    ``all_gather`` over the model axis reassembles the full frontier.
+    Gradients/losses ``pmean`` over BOTH axes (the model axis replicates
+    the data shard's compute), so the optimizer update is identical on
+    every device and the state stays replicated.
+
+    The GSPMD path (:func:`make_gspmd_minibatch_step` + row-sharded
+    placement) computes the same math with XLA-inferred collectives;
+    ``tests/test_multichip.py`` asserts the two agree and
+    ``benchmarks/comm_bytes.py`` compares their bytes on the wire.
+    """
+    if has_reverse is None:
+        has_reverse = {et: True for et in train_etypes}
+    m = mesh.shape[model_axis]
+
+    def step(state, graph, features, batch, edge_tables, rng):
+        repl = jax.tree.map(lambda _: P(), (state, graph, edge_tables))
+        feat_specs = {
+            nt: P(model_axis) if nt in row_shard_ntypes else P()
+            for nt in features
+        }
+        batch_spec = jax.tree.map(lambda _: P(data_axis), batch)
+
+        @functools.partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(repl[0], repl[1], feat_specs, batch_spec, repl[2],
+                      P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        def _sharded(state, graph, features, batch, edge_tables, rng):
+            def feature_lookup(nt, flat_ids):
+                if nt not in row_shard_ntypes:
+                    return jnp.take(features[nt], flat_ids, axis=0)
+                # Split this data-shard's (model-axis-replicated) frontier
+                # across the model axis; resolve each slice with the
+                # a2a exchange; reassemble with an all_gather.
+                b = flat_ids.shape[0]
+                pad = (-b) % m
+                ids_p = jnp.concatenate(
+                    [flat_ids, jnp.zeros((pad,), flat_ids.dtype)]
+                )
+                chunk = ids_p.shape[0] // m
+                my = jax.lax.axis_index(model_axis)
+                mine = jax.lax.dynamic_slice_in_dim(
+                    ids_p, my * chunk, chunk
+                )
+                rows = row_sharded_lookup_a2a(
+                    features[nt], mine, axis=model_axis
+                )
+                full = jax.lax.all_gather(
+                    rows, model_axis, axis=0, tiled=True
+                )
+                return full[:b]
+
+            # Same rng per data shard ACROSS the model axis (the tree must
+            # be identical for the a2a request sets to be consistent).
+            shard_rng = jax.random.fold_in(
+                rng, jax.lax.axis_index(data_axis)
+            )
+            eval_step = make_minibatch_step(
+                model, cfg, tuple(train_etypes), with_update=False,
+                with_exclusion=cfg.exclude_batch_edges,
+                has_reverse=has_reverse, jit=False,
+                feature_lookup=feature_lookup,
+            )
+
+            def local_loss(params):
+                st = state.replace(params=params)
+                _, loss = eval_step(
+                    st, graph, features, batch, edge_tables, shard_rng
+                )
+                return loss
+
+            loss, grads = jax.value_and_grad(local_loss)(state.params)
+            grads = jax.lax.pmean(
+                jax.lax.pmean(grads, data_axis), model_axis
+            )
+            loss = jax.lax.pmean(jax.lax.pmean(loss, data_axis), model_axis)
+            new_state = state.apply_gradients(grads=grads)
+            return new_state, loss
+
+        return _sharded(state, graph, features, batch, edge_tables, rng)
+
+    return jax.jit(step)
+
+
 def row_sharded_lookup_a2a(
     table_shard: jax.Array,
     ids_shard: jax.Array,

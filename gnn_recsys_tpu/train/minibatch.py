@@ -187,6 +187,7 @@ def make_minibatch_step(
     with_exclusion: bool,
     has_reverse: Dict[CanonicalEtype, bool],
     jit: bool = True,
+    feature_lookup=None,
 ) -> Callable:
     """Build the jit'd minibatch step.
 
@@ -259,6 +260,7 @@ def make_minibatch_step(
                 exclude_eids=exclude,
                 deterministic=deterministic,
                 dedup=cfg.dedup,
+                feature_lookup=feature_lookup,
                 method="minibatch_forward",
                 rngs={} if deterministic else {"dropout": r_drop},
             )

