@@ -14,6 +14,18 @@ recall is informative).  Each distinct (n_layers, embed_dim,
 aggregator...) configuration recompiles, so keep ``--n-calls`` modest on a
 tunneled device.
 
+Shape bucketing (``FixedParams.bucket_shapes``) + the persistent XLA
+compilation cache collapse compile keys across HP points: neg_sample_size
+rounds up to 128 multiples and eid counts truncate to 256 multiples, so
+trials sharing (n_layers, embed_dim, aggregator, norm, embedding_layer)
+reuse compiled programs instead of recompiling per float-valued sample
+fraction.  A ``report.json`` with trials/hour and the best configuration
+is written to the logdir.
+
+Crash recovery: run with ``--n-calls N``, kill -9 mid-search, rerun the
+same command — the search resumes from the last ``checkpoint*.pkl`` and
+only runs the remaining trials (exercised by the round-3 demo run).
+
 Usage: python benchmarks/hp_search_run.py [--n-calls 5] [--epochs 4]
            [--logdir outputs/hp_run]
 """
@@ -91,9 +103,22 @@ def main():
     ap.add_argument("--from-beginning", action="store_true")
     args = ap.parse_args()
 
+    import jax
+
     from gnn_recsys_tpu.config import DataPaths, FixedParams, HyperParams
     from gnn_recsys_tpu.hpsearch import run_search
     from gnn_recsys_tpu.trial import run_trial
+
+    # Persistent compile cache: bucketed shapes make keys repeat across
+    # trials AND across resumed runs.
+    try:
+        cache = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f"compile cache unavailable: {e!r}", file=sys.stderr)
 
     csvs = make_csv_world(
         os.path.join(args.logdir, "data"),
@@ -111,6 +136,8 @@ def main():
         patience=args.epochs + 1,
         edge_batch_size=512,
         include_sport=False,
+        bucket_shapes=True,  # collapse compile keys across HP points
+        run_inference=0,  # robustness re-eval off in the throughput demo
     )
 
     trial_times = []
@@ -155,6 +182,25 @@ def main():
         f"resume OK: checkpoint replayed {n_before} trials, ran 1 more; "
         f"best recall@10 = {-state2.best.objective:.4f}"
     )
+
+    import dataclasses
+    import json
+
+    report = {
+        "n_trials": len(state2.trials),
+        "trials_per_hour": round(
+            3600.0 * len(trial_times) / max(sum(trial_times), 1e-9), 1
+        ),
+        "mean_trial_s": round(sum(trial_times) / len(trial_times), 1),
+        "trial_s": [round(t, 1) for t in trial_times],
+        "best_recall": round(-state2.best.objective, 5),
+        "best_hyper": dataclasses.asdict(state2.best.hyper),
+        "recalls": [round(-t.objective, 5) for t in state2.trials],
+    }
+    with open(os.path.join(args.logdir, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"report -> {args.logdir}/report.json "
+          f"({report['trials_per_hour']} trials/hour)")
 
 
 if __name__ == "__main__":

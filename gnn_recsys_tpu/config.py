@@ -113,6 +113,14 @@ class FixedParams:
     # levels on backward — trade ~1 extra forward for activation memory on
     # deep (n_layers 4-5) / wide-fanout models.
     remat_levels: bool = False
+    # TPU-specific: bucket trial shapes so jit/compile-cache keys collapse
+    # across hyperparameter points (an HP search recompiles every distinct
+    # shape otherwise): per-etype train/valid eid counts truncate DOWN to
+    # a multiple of 256 (dropping the OLDEST edges — the reference's
+    # recency-sampling bias, src/sampling.py:72-82) and neg_sample_size
+    # rounds UP to a multiple of 128 (more negatives than asked, never
+    # fewer).  Off by default: exact reference shape semantics.
+    bucket_shapes: bool = False
     # Embedding inference for eval/serving: 'full_graph' = one jit'd
     # layer-wise pass over the device-resident graph (exactly equal to the
     # full-fanout sampled tree, O(L*E) total); 'node_batches' = the

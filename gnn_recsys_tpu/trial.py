@@ -99,6 +99,11 @@ def minibatch_config(
         fanouts = tuple([-1] * n_conv)
     else:  # 'partial' = fanout-1 sampler (reference sampling.py:158-159)
         fanouts = tuple([1] * n_conv)
+    neg_sample_size = hyper.neg_sample_size
+    if fixed.bucket_shapes:
+        # Collapse compile keys across HP points: round the negative
+        # count UP to a 128 multiple (never fewer negatives than asked).
+        neg_sample_size = -(-neg_sample_size // 128) * 128
     # Full-neighbor sampling at depth >= 3 multiplies padded row widths
     # per level: the pure tree forward's frontier grows as K^depth and a
     # deep HP trial OOMs HBM (observed: f32[316,48,24,48,512] = 35.8 GB
@@ -109,7 +114,7 @@ def minibatch_config(
     return MinibatchConfig(
         edge_batch_size=fixed.edge_batch_size,
         fanouts=fanouts,
-        neg_sample_size=hyper.neg_sample_size,
+        neg_sample_size=neg_sample_size,
         neg_mode="shared_pool",
         neg_pool_size=neg_pool_size,
         dedup=dedup,
@@ -162,6 +167,22 @@ def run_trial(
         purchases_sample=hyper.purchases_sample,
     )
     model = build_model(gd, fixed, hyper, dtype=dtype)
+    if fixed.bucket_shapes:
+        # Collapse epoch-program compile keys across HP points: truncate
+        # per-etype eid sets DOWN to a 256 multiple, dropping the OLDEST
+        # edges (eids are time-ordered; the reference's recency sampling
+        # keeps the most recent fraction, src/sampling.py:72-82).
+        def _trunc(eids):
+            return {
+                et: v[len(v) % 256:] if len(v) >= 256 else v
+                for et, v in eids.items()
+            }
+
+        split = dataclasses.replace(
+            split,
+            train_eids=_trunc(split.train_eids),
+            valid_eids=_trunc(split.valid_eids),
+        )
     # A shared negative pool larger than the catalog is pure waste.
     neg_pool_size = min(neg_pool_size, gd.num_nodes["item"])
     cfg = minibatch_config(fixed, hyper, model, neg_pool_size=neg_pool_size)

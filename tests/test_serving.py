@@ -338,3 +338,27 @@ def test_run_trial_with_sports(tmp_path):
                               inference_mode="full_graph")
     assert set(recs) == set(known)
     assert all(len(v) == 5 for v in recs.values())
+
+
+def test_bucket_shapes_collapses_compile_keys(tmp_path):
+    """bucket_shapes rounds negatives up to 128 and truncates eid sets to
+    256 multiples — HP trials differing only in float-valued sample
+    fractions / raw negative counts then share compiled shapes."""
+    from gnn_recsys_tpu.trial import build_model, minibatch_config
+
+    _, df, itf, uf = make_csv_world(tmp_path, n=400)
+    from gnn_recsys_tpu.data.etl import GraphData
+
+    fixed = FixedParams(include_sport=False, bucket_shapes=True,
+                        run_inference=0)
+    h1 = HyperParams(neg_sample_size=701)
+    h2 = HyperParams(neg_sample_size=767)
+    gd = GraphData.from_dataframes(fixed, train=df, test=df, item_feat=itf,
+                                   user_feat=uf)
+    m = build_model(gd, fixed, h1)
+    c1 = minibatch_config(fixed, h1, m)
+    c2 = minibatch_config(fixed, h2, m)
+    assert c1.neg_sample_size == c2.neg_sample_size == 768
+    # Exact semantics preserved when the knob is off.
+    off = dataclasses.replace(fixed, bucket_shapes=False)
+    assert minibatch_config(off, h1, m).neg_sample_size == 701
