@@ -362,3 +362,29 @@ def test_bucket_shapes_collapses_compile_keys(tmp_path):
     # Exact semantics preserved when the knob is off.
     off = dataclasses.replace(fixed, bucket_shapes=False)
     assert minibatch_config(off, h1, m).neg_sample_size == 701
+
+
+@pytest.mark.slow
+def test_run_trial_partial_sampler(tmp_path):
+    """neighbor_sampler='partial' (the reference's fanout-[1,1,1]
+    MultiLayerNeighborSampler, sampling.py:158-159) runs end-to-end at
+    trial level and produces finite metrics."""
+    from gnn_recsys_tpu.trial import run_trial
+
+    _, df, itf, uf = make_csv_world(tmp_path, n=400)
+    from gnn_recsys_tpu.data.presplit import presplit_data
+
+    tr, te = presplit_data(itf, df, num_min=2, test_size_days=6)
+    fixed = FixedParams(include_sport=False, num_epochs=2,
+                        edge_batch_size=128, valid_size=0.1,
+                        neighbor_sampler="partial", run_inference=0)
+    hyper = HyperParams(embed_dim="small", n_layers=3, neg_sample_size=10,
+                        aggregator_type="mean_nn", use_recency=False,
+                        embedding_layer=False, dropout=0.1)
+    result = run_trial(
+        fixed, hyper,
+        dataframes=dict(train=tr, test=te, item_feat=itf, user_feat=uf),
+        neg_pool_size=32,
+    )
+    assert np.isfinite(result.recall)
+    assert len(result.history["train_loss"]) == 2
