@@ -355,3 +355,31 @@ def test_config_json_round_trip(tmp_path):
     assert load_config(FixedParams, os.path.join(tmp_path, "f.json")) == fp
     hp2 = load_config(HyperParams, os.path.join(tmp_path, "h.json"))
     assert hp2 == hp and hp2.hidden_dim == 512
+
+
+def test_hard_synthetic_generator_invariants():
+    """make_hard_synthetic_data: train/test items disjoint per user (Gumbel
+    top-k without replacement), power-law item degrees, latent anchors
+    present, features low-rank+noisy (not group one-hots)."""
+    from gnn_recsys_tpu.utils.synthetic import make_hard_synthetic_data
+
+    d = make_hard_synthetic_data(num_users=300, num_items=200,
+                                 interactions_per_user=8, test_per_user=2,
+                                 seed=3)
+    bu, bi = d.train_pairs[("user", "buys", "item")]
+    gtu, gti = d.test_ground_truth
+    assert len(bu) == 300 * 8 and len(gtu) == 300 * 2
+    # No train/test overlap within a user; no duplicate draws per user.
+    for u in range(0, 300, 37):
+        tr = set(bi[bu == u].tolist())
+        te = set(gti[gtu == u].tolist())
+        assert len(tr) == 8 and len(te) == 2
+        assert not (tr & te)
+    # Power-law-ish: the busiest item gets far more than the median.
+    deg = np.bincount(bi, minlength=200)
+    assert deg.max() > 3 * max(np.median(deg), 1)  # skewed even at tiny scale
+    assert d.user_latent.shape == (300, 16)
+    assert d.item_logpop.shape == (200,)
+    # Clicks present and drawn from the weaker process.
+    cu, ci = d.train_pairs[("user", "clicks", "item")]
+    assert len(cu) == 300 * 8
