@@ -113,6 +113,13 @@ class FixedParams:
     # levels on backward — trade ~1 extra forward for activation memory on
     # deep (n_layers 4-5) / wide-fanout models.
     remat_levels: bool = False
+    # TPU-specific: cap on the padded CSC neighbor-row width when
+    # building the graph (None = exact, rows as wide as the hottest hub's
+    # in-degree).  A cap keeps each destination's most RECENT edges
+    # (coo_to_padded_csc; the reference's recency bias,
+    # src/sampling.py:72-82) and bounds both HBM for the neighbor tables
+    # and the full-fanout frontier width on power-law data.
+    max_fanout: "int | None" = None
     # TPU-specific: bucket trial shapes so jit/compile-cache keys collapse
     # across hyperparameter points (an HP search recompiles every distinct
     # shape otherwise): per-etype train/valid eid counts truncate DOWN to

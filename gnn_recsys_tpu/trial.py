@@ -149,6 +149,7 @@ def run_trial(
             use_recency=hyper.use_recency,
             use_popularity=hyper.use_popularity,
             days_popularity=hyper.days_popularity,
+            max_fanout=fixed.max_fanout,
             **dataframes,
         )
     else:
@@ -158,6 +159,7 @@ def run_trial(
             use_recency=hyper.use_recency,
             use_popularity=hyper.use_popularity,
             days_popularity=hyper.days_popularity,
+            max_fanout=fixed.max_fanout,
         )
     split: TrainValSplit = train_valid_split(
         gd.graph,

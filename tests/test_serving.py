@@ -388,3 +388,16 @@ def test_run_trial_partial_sampler(tmp_path):
     )
     assert np.isfinite(result.recall)
     assert len(result.history["train_loss"]) == 2
+
+
+def test_run_trial_max_fanout_caps_rows(tmp_path):
+    """FixedParams.max_fanout bounds the padded CSC width at graph build
+    (most-recent edges kept; TPU memory control on power-law data)."""
+    from gnn_recsys_tpu.data.etl import GraphData
+
+    _, df, itf, uf = make_csv_world(tmp_path, n=400)
+    fixed = FixedParams(include_sport=False, max_fanout=4, run_inference=0)
+    gd = GraphData.from_dataframes(fixed, train=df, test=df, item_feat=itf,
+                                   user_feat=uf, max_fanout=fixed.max_fanout)
+    for et, rel in gd.graph.rels.items():
+        assert rel.max_fanout <= 8, (et, rel.max_fanout)  # cap + tile pad
