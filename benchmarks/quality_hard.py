@@ -98,8 +98,6 @@ def main():
     _, recall_ceiling, _ = recs_to_metrics(recs, user_ids, gtu, gti,
                                            args.items)
     pop_top = np.argsort(-np.bincount(bi, minlength=args.items))[:k]
-    bought = build_padded_pair_set(bu, bi, num_src=args.users)
-    del bought
     recall_pop = float(np.isin(gti, pop_top).mean())
     anchors = {
         "recall_random": round(k / args.items, 5),
