@@ -107,14 +107,14 @@ def main():
     print(f"anchors: {anchors}", file=sys.stderr)
 
     # ---------------- configs ------------------------------------------
-    def build_model(agg, n_layers=3):
+    def build_model(agg, n_layers=3, pred="cos"):
         return ConvModel(
             canonical_etypes=g.canonical_etypes,
             dims=(("user", fdim), ("item", fdim),
                   ("hidden", 256), ("out", 128)),
             n_layers=n_layers,
             aggregator_type=agg,
-            pred="cos",
+            pred=pred,
             aggregator_hetero="sum",
             # embedding_layer True (2 conv hops at n_layers=3): same
             # layer-count semantics as the throughput bench; the
@@ -130,6 +130,10 @@ def main():
         "mean": dict(agg="mean", lr=5.65e-3, pool=2560),
         "few_neg": dict(agg="mean_nn", lr=5.65e-3, pool=64),
         "shallow": dict(agg="mean_nn", lr=5.65e-3, pool=2560, n_layers=2),
+        # MLP scoring head (reference pred='nn', src/model.py:240-305):
+        # unlike cosine it can express MAGNITUDE — the popularity prior —
+        # directly in the learned score.
+        "nn_pred": dict(agg="mean_nn", lr=5.65e-3, pool=2560, pred="nn"),
     }
     train_etypes = tuple(data.train_pairs.keys())
     train_eids = {et: np.arange(g.num_edges(et)) for et in train_etypes}
@@ -141,7 +145,8 @@ def main():
     results = {}
     for name in args.configs.split(","):
         c = CONFIGS[name]
-        model = build_model(c["agg"], c.get("n_layers", 3))
+        model = build_model(c["agg"], c.get("n_layers", 3),
+                            c.get("pred", "cos"))
         fanouts = tuple([8, 4][: model.num_conv_layers])
         cfg = MinibatchConfig(
             edge_batch_size=args.edge_batch,
@@ -173,6 +178,9 @@ def main():
         from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
         from gnn_recsys_tpu.train.minibatch import infer_embeddings
 
+        from gnn_recsys_tpu.retrieval.recs import model_score_fn
+
+        sfn = model_score_fn(model.pred, state.params)
         h = infer_embeddings(model, state.params, g, feats,
                              ntypes=("user", "item"))
         deg = np.bincount(bi, minlength=args.items).astype(np.float32)
@@ -186,6 +194,7 @@ def main():
             _, r_b, _ = get_metrics_at_k(
                 h["user"], h["item"], data.test_ground_truth, (bu, bi), k,
                 popularity=pop, weight_popularity=w, backend="xla",
+                score_fn=sfn,
             )
             boosted[w] = round(float(r_b), 5)
         results[name] = {
