@@ -278,3 +278,34 @@ def test_tp_dp_a2a_step_matches_dp_step(world):
     _, loss2 = tp(st_tp, g, feats, batch, tables,
                   jax.random.fold_in(rng, 1))
     assert np.isfinite(float(loss2))
+
+
+def test_collective_bytes_parser():
+    """benchmarks/comm_bytes.collective_bytes sums output bytes of
+    collective ops from optimized HLO text."""
+    import importlib.util as ilu
+    import os
+
+    spec = ilu.spec_from_file_location(
+        "comm_bytes",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "benchmarks", "comm_bytes.py"),
+    )
+    mod = ilu.module_from_spec(spec)
+    # Import only the parser (module import would re-init jax config);
+    # execute the source up to main() by loading and reading the fn.
+    src = open(spec.origin).read()
+    ns = {"__file__": spec.origin}
+    exec(compile(src.split("def main()")[0], spec.origin, "exec"), ns)
+    cb = ns["collective_bytes"]
+    hlo = "\n".join([
+        "%ar = f32[8,16]{1,0} all-reduce(f32[8,16]{1,0} %x)",
+        "%aa = (s32[4,8]{1,0}, bf16[2,4]{1,0}) all-to-all(%a, %b)",
+        "%ag = bf16[64]{0} all-gather(bf16[8]{0} %y)",
+        "%mm = f32[128,128]{1,0} dot(%p, %q)",  # not a collective
+    ])
+    got = cb(hlo)
+    assert got["all-reduce"] == 8 * 16 * 4
+    assert got["all-to-all"] == 4 * 8 * 4 + 2 * 4 * 2
+    assert got["all-gather"] == 64 * 2
+    assert got["collective-permute"] == 0
