@@ -166,8 +166,12 @@ def orchestrate() -> None:
 
     on_accel = probe_device()
     if on_accel:
-        # Reserve time for a CPU-fallback child + final bookkeeping.
-        budget = remaining() - 100.0
+        # Reserve time for a CPU-fallback child + final bookkeeping (the
+        # CPU child completes in ~60 s warm; the partial-result recovery
+        # below covers a TPU child killed after measuring but before its
+        # baseline, so the TPU child gets the lion's share — a COLD
+        # compile needs ~195 s before the first measurement lands).
+        budget = remaining() - 75.0
         if budget > 60:
             run_child("tpu", budget)
     final = final_or_partial()
