@@ -469,9 +469,14 @@ class ConvModel(nn.Module):
         w_eff = jnp.matmul(eb[1:] - eb[0], w2)  # W1 @ W2
         # Match the unfolded path's computation dtype (embed casts inputs
         # to the module dtype, e.g. bf16 on the MXU).  Kept in the
-        # caller's N-D shape: flattening to a 2-D matmul forces a
-        # relayout copy that costs more than the conv-style lowering
-        # saves (measured 10.5 vs 7.5 ms/step).
+        # caller's N-D shape: flattening to a 2-D matmul — whether here
+        # (measured 10.5 vs 7.5 ms/step) or by passing the flat gather
+        # output (19.4 vs 7.3) — makes XLA materialize the per-message
+        # activations + backward broadcasts the conv lowering fuses.
+        # Also measured and rejected: folding b_eff as an appended
+        # ones-column (x_aug @ [W; b]) to fuse d(b_eff) into the dW conv
+        # — the concat + 9-wide contraction cost MORE than the separate
+        # [H]-output reduction it replaced (7.5 vs 6.7 ms/step).
         return nn.relu(jnp.matmul(raw.astype(eb.dtype), w_eff) + b_eff)
 
     def _tree_level(
@@ -492,7 +497,11 @@ class ConvModel(nn.Module):
         def fetch_rows(nt, flat_ids):
             if feature_lookup is not None:
                 return feature_lookup(nt, flat_ids)
-            return jnp.take(features[nt], flat_ids, axis=0)
+            # mode='clip': sampler invariants guarantee in-bounds ids
+            # (invalid slots carry node 0); the default 'fill' mode emits a
+            # bounds select per gathered row — measured 0.089 ms per leaf
+            # branch at the bench config (4 branches = 0.36 ms/step).
+            return jnp.take(features[nt], flat_ids, axis=0, mode="clip")
 
         if level == 0:
             x = fetch_rows(ntype, ids.reshape(-1))
@@ -589,6 +598,13 @@ class ConvModel(nn.Module):
                 )
                 continue
             if self._can_fold_leaf(layer, etype[0], level, deterministic):
+                # Keep the N-D shape through the transform: feeding the
+                # FLAT [M, F] gather output into a 2-D matmul reads
+                # cleaner but measured 19.4 vs 7.3 ms/step at the bench
+                # config — XLA then materializes the [M, H] per-message
+                # activations and the backward's broadcast of dagg
+                # ([147456,256] broadcasts + relayout copies) instead of
+                # fusing both into the conv-style lowering.
                 raw = raw_packed if raw_packed is not None else fetch_rows(
                     etype[0], nbr.reshape(-1)
                 ).reshape(*nbr.shape, -1)

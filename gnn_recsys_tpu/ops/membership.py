@@ -68,7 +68,7 @@ def pair_set_contains(ps: PaddedPairSet, u: jax.Array, v: jax.Array) -> jax.Arra
     Negative probe ids (e.g. the -1 "no recommendation" sentinel from
     retrieval) never match — they would otherwise alias the -1 padding.
     """
-    rows = jnp.take(ps.rows, u, axis=0)  # [*s, K]
+    rows = jnp.take(ps.rows, u, axis=0, mode="clip")  # [*s, K]
     if v.ndim == u.ndim:
         return jnp.any(rows == v[..., None], axis=-1) & (v >= 0)
     # v has one extra trailing axis (e.g. S negatives per source).
@@ -84,7 +84,7 @@ def scatter_row_mask(
     into a boolean row — O(C * K) scatter instead of O(C * I) probes.
     Padding (-1) scatters into a dropped overflow column.
     """
-    rows = jnp.take(ps.rows, u, axis=0)  # [C, K]
+    rows = jnp.take(ps.rows, u, axis=0, mode="clip")  # [C, K]
     c = rows.shape[0]
     out = jnp.zeros((c, num_dst + 1), dtype=bool)
     cols = jnp.where(rows >= 0, rows, num_dst)

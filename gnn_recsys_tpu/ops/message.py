@@ -75,11 +75,13 @@ def _gather_msgs(
     # under jit an out-of-range take fill-produces NaN rows, and 0*NaN
     # would poison the masked reduction — clamp before gathering.  The
     # clamped garbage rows are zeroed/ignored by the caller's mask.
-    msgs = jnp.take(h_src, jnp.maximum(nbr, 0), axis=0)  # [N_dst, K, D]
+    msgs = jnp.take(h_src, jnp.maximum(nbr, 0), axis=0,
+                    mode="clip")  # [N_dst, K, D]
     if edge_weight is not None:
         if nbr_eid is None:
             raise ValueError("edge weighting requires nbr_eid")
-        w = jnp.take(edge_weight, jnp.maximum(nbr_eid, 0), axis=0)
+        w = jnp.take(edge_weight, jnp.maximum(nbr_eid, 0), axis=0,
+                     mode="clip")
         msgs = msgs * w[..., None]  # [N_dst, K]
     return msgs
 

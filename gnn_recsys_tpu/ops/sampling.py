@@ -79,16 +79,16 @@ def sample_neighbors(
 
     eid = None
     if mode == "full":
-        nbr = jnp.take(table, ids, axis=0)  # [*s, K]
+        nbr = jnp.take(table, ids, axis=0, mode="clip")  # [*s, K]
         if need_eids:
-            eid = jnp.take(rel.nbr_eid, ids, axis=0)
-        mask = jnp.take(rel.nbr_mask, ids, axis=0)
+            eid = jnp.take(rel.nbr_eid, ids, axis=0, mode="clip")
+        mask = jnp.take(rel.nbr_mask, ids, axis=0, mode="clip")
         if nbr_table is not None:
             mask = mask & (nbr >= 0)
             nbr = nbr & jnp.int32(2**31 - 1)
         if exclude_flags is not None:
             excluded = jnp.take(
-                exclude_flags.reshape(-1, kmax), ids, axis=0
+                exclude_flags.reshape(-1, kmax), ids, axis=0, mode="clip"
             )
             mask = mask & ~excluded
     elif mode == "uniform" and kmax <= ROW_GATHER_KMAX:
@@ -102,7 +102,7 @@ def sample_neighbors(
         # scalar gathers alone cost 5.6 ms/step at the bench config —
         # ~36% of the whole forward.  Only a win at capped fanout: the
         # select is O(kmax) per slot, hence the ROW_GATHER_KMAX gate.
-        row = jnp.take(table, ids.reshape(-1), axis=0).reshape(
+        row = jnp.take(table, ids.reshape(-1), axis=0, mode="clip").reshape(
             *ids.shape, kmax
         )  # [*s, K]
         # Degree rides the SAME row gather (padding is -1 by Relation
@@ -119,7 +119,7 @@ def sample_neighbors(
         nbr = jnp.sum(row[..., None, :] * sel, axis=-1)  # [*s, fanout]
         if need_eids:
             erow = jnp.take(
-                rel.nbr_eid, ids.reshape(-1), axis=0
+                rel.nbr_eid, ids.reshape(-1), axis=0, mode="clip"
             ).reshape(*ids.shape, kmax)
             eid = jnp.sum(erow[..., None, :] * sel, axis=-1)
         mask = jnp.broadcast_to((deg > 0)[..., None], nbr.shape)
@@ -128,7 +128,8 @@ def sample_neighbors(
             nbr = nbr & jnp.int32(2**31 - 1)
         if exclude_flags is not None:
             frow = jnp.take(
-                exclude_flags.reshape(-1, kmax), ids.reshape(-1), axis=0
+                exclude_flags.reshape(-1, kmax), ids.reshape(-1), axis=0,
+                mode="clip",
             ).reshape(*ids.shape, kmax)
             mask = mask & ~jnp.any(sel & frow[..., None, :], axis=-1)
     elif mode == "uniform":
@@ -138,16 +139,18 @@ def sample_neighbors(
         # gathers per sampled slot; degree from the precomputed
         # Relation.deg (one scalar gather per frontier node) instead of
         # an O(kmax) row scan.
-        deg = jnp.take(rel.deg, ids.reshape(-1), axis=0).reshape(ids.shape)
+        deg = jnp.take(rel.deg, ids.reshape(-1), axis=0,
+                       mode="clip").reshape(ids.shape)
         u = jax.random.uniform(rng, (*ids.shape, fanout))
         slot = jnp.minimum(
             (u * jnp.maximum(deg, 1)[..., None]).astype(jnp.int32),
             jnp.maximum(deg - 1, 0)[..., None],
         )
         idx = (ids[..., None].astype(jnp.int32) * kmax + slot).reshape(-1)
-        nbr = jnp.take(table.reshape(-1), idx).reshape(*ids.shape, fanout)
+        nbr = jnp.take(table.reshape(-1), idx,
+                       mode="clip").reshape(*ids.shape, fanout)
         if need_eids:
-            eid = jnp.take(rel.nbr_eid.reshape(-1), idx).reshape(
+            eid = jnp.take(rel.nbr_eid.reshape(-1), idx, mode="clip").reshape(
                 *ids.shape, fanout
             )
         mask = jnp.broadcast_to((deg > 0)[..., None], nbr.shape)
@@ -155,7 +158,7 @@ def sample_neighbors(
             mask = mask & (nbr >= 0)
             nbr = nbr & jnp.int32(2**31 - 1)
         if exclude_flags is not None:
-            mask = mask & ~jnp.take(exclude_flags, idx).reshape(
+            mask = mask & ~jnp.take(exclude_flags, idx, mode="clip").reshape(
                 *ids.shape, fanout
             )
     else:
@@ -213,12 +216,13 @@ def full_neighbors_packed(
         )
     kmax = rel.max_fanout
     table = rel.nbr if nbr_table is None else nbr_table
-    row = jnp.take(table, ids.reshape(-1), axis=0).reshape(*ids.shape, kmax)
+    row = jnp.take(table, ids.reshape(-1), axis=0,
+                   mode="clip").reshape(*ids.shape, kmax)
     # nbr_feat is stored [N, K*F] (row-major — a 3-D constant tempts XLA
     # into a transposed layout that scatters the row reads); reshape the
     # gathered rows back to [*, K, F].
     feat_row = jnp.take(
-        rel.nbr_feat, ids.reshape(-1), axis=0
+        rel.nbr_feat, ids.reshape(-1), axis=0, mode="clip"
     ).reshape(*ids.shape, kmax, rel.nbr_feat.shape[-1] // kmax)
     return feat_row, row >= 0  # valid and not sign-marked excluded
 

@@ -35,19 +35,29 @@ def _world(seed=0):
     return data, g, feats_np, nbr, mask, already
 
 
+SEEDS = (0, 1, 2)  # training-run seeds per stack (shared data world)
+
+
 @pytest.mark.slow
 def test_recall_parity_with_torch_reference():
+    """3 training seeds per stack on one shared dataset; compare MEANS with
+    a tight tolerance (VERDICT r3 #5: a single-seed 0.05-slack gate would
+    let a multi-point recall regression pass)."""
     from benchmarks.torch_reference import train_torch_reference
 
     data, g, feats_np, nbr, mask, already = _world(seed=1)
 
-    torch_recall, torch_losses = train_torch_reference(
-        feats_np, nbr, mask, data.train_pairs, data.test_ground_truth,
-        already, fanouts=FANOUTS, hidden=HIDDEN, out_dim=OUT,
-        batch_per_etype=BATCH // 2, neg_sample_size=NEG_S,
-        neg_pool_size=NEG_POOL, delta=DELTA, epochs=8, lr=LR, k=K, seed=0,
-    )
-    assert torch_losses[-1] < torch_losses[0]
+    torch_recalls = []
+    for s in SEEDS:
+        torch_recall, torch_losses = train_torch_reference(
+            feats_np, nbr, mask, data.train_pairs, data.test_ground_truth,
+            already, fanouts=FANOUTS, hidden=HIDDEN, out_dim=OUT,
+            batch_per_etype=BATCH // 2, neg_sample_size=NEG_S,
+            neg_pool_size=NEG_POOL, delta=DELTA, epochs=8, lr=LR, k=K,
+            seed=s,
+        )
+        assert torch_losses[-1] < torch_losses[0]
+        torch_recalls.append(torch_recall)
 
     model = ConvModel(
         canonical_etypes=g.canonical_etypes,
@@ -60,25 +70,33 @@ def test_recall_parity_with_torch_reference():
         dropout=0.0,
     )
     feats = {nt: g.ndata[nt]["features"] for nt in g.ntypes}
-    cfg = MinibatchConfig(
-        edge_batch_size=BATCH, fanouts=FANOUTS, neg_sample_size=NEG_S,
-        neg_mode="shared_pool", neg_pool_size=NEG_POOL, delta=DELTA, lr=LR,
-        num_epochs=9,  # epoch 0 is the smoke pass (no update)
-        metrics_every=0, patience=100,
-    )
     train_eids = {
         et: np.arange(len(u)) for et, (u, _) in data.train_pairs.items()
     }
-    state, hist = train_minibatch(
-        model, g, g, feats, train_eids, None, cfg,
-    )
-    assert hist["train_loss"][-1] < hist["train_loss"][1]
+    ours_recalls = []
+    for s in SEEDS:
+        cfg = MinibatchConfig(
+            edge_batch_size=BATCH, fanouts=FANOUTS, neg_sample_size=NEG_S,
+            neg_mode="shared_pool", neg_pool_size=NEG_POOL, delta=DELTA,
+            lr=LR,
+            num_epochs=9,  # epoch 0 is the smoke pass (no update)
+            metrics_every=0, patience=100, seed=11 + s,
+        )
+        state, hist = train_minibatch(
+            model, g, g, feats, train_eids, None, cfg,
+        )
+        assert hist["train_loss"][-1] < hist["train_loss"][1]
+        h = infer_embeddings(
+            model, state.params, g, feats, mode="full_graph",
+            ntypes=("user", "item"),
+        )
+        _, ours_recall, _ = get_metrics_at_k(
+            h["user"], h["item"], data.test_ground_truth, already, K
+        )
+        ours_recalls.append(ours_recall)
 
-    h = infer_embeddings(model, state.params, g, feats, mode="full_graph",
-                         ntypes=("user", "item"))
-    _, ours_recall, _ = get_metrics_at_k(
-        h["user"], h["item"], data.test_ground_truth, already, K
-    )
+    ours_mean = float(np.mean(ours_recalls))
+    torch_mean = float(np.mean(torch_recalls))
 
     # Popularity baseline floor: both stacks must clearly learn.
     pop = np.bincount(np.asarray(already[1]), minlength=data.num_items)
@@ -86,11 +104,15 @@ def test_recall_parity_with_torch_reference():
     gt_u, gt_i = data.test_ground_truth
     pop_recall = np.mean([int(i) in top for i in gt_i])
 
-    print(f"PARITY recall@{K}: ours={ours_recall:.4f} "
-          f"torch={torch_recall:.4f} popularity={pop_recall:.4f}")
-    assert torch_recall > pop_recall
-    assert ours_recall > pop_recall
-    # Parity within run variance (different RNG streams, same regime).
-    assert ours_recall >= torch_recall - 0.05, (
-        f"ours {ours_recall:.4f} vs torch {torch_recall:.4f}"
+    print(f"PARITY recall@{K}: ours={ours_recalls} (mean {ours_mean:.4f}) "
+          f"torch={torch_recalls} (mean {torch_mean:.4f}) "
+          f"popularity={pop_recall:.4f}")
+    assert torch_mean > pop_recall
+    assert ours_mean > pop_recall
+    # Mean parity, tight tolerance: fails if this framework loses more
+    # than 2 recall points to the torch oracle (reference metric
+    # semantics: src/metrics.py:81-107).
+    assert ours_mean >= torch_mean - 0.02, (
+        f"ours {ours_recalls} (mean {ours_mean:.4f}) vs "
+        f"torch {torch_recalls} (mean {torch_mean:.4f})"
     )
