@@ -76,9 +76,10 @@ def collective_bytes(hlo_text: str) -> dict:
     return out
 
 
-def main():
+def measure(num_users=512, num_items=256, a2a_capacity_factor=None,
+            verbose=True):
     data = make_synthetic_data(
-        num_users=512, num_items=256, num_groups=8,
+        num_users=num_users, num_items=num_items, num_groups=8,
         interactions_per_user=8, with_clicks=True, seed=5,
     )
     g = data.graph
@@ -132,18 +133,121 @@ def main():
 
     # Explicit: shard_map + row_sharded_lookup_a2a per leaf lookup.
     tp = make_shardmap_tp_dp_step(
-        model, cfg, etypes, mesh, row_shard_ntypes=("item",)
+        model, cfg, etypes, mesh, row_shard_ntypes=("item",),
+        a2a_capacity_factor=a2a_capacity_factor,
     )
     tp_comp = tp.lower(state, g, feats, batch, tables, rng).compile()
     tp_bytes = collective_bytes(tp_comp.as_text())
 
-    print(f"mesh: {dict(mesh.shape)}  batch/etype: 128  "
-          f"item table: {feats['item'].shape}")
-    for name, b in (("gspmd-inferred", gs_bytes), ("explicit-a2a", tp_bytes)):
-        tot = sum(b.values())
-        parts = ", ".join(f"{k}={v / 1024:.1f}KiB"
-                          for k, v in b.items() if v)
-        print(f"{name:15s} total {tot / 1024:8.1f} KiB/step  ({parts})")
+    if verbose:
+        print(f"mesh: {dict(mesh.shape)}  batch/etype: 128  "
+              f"item table: {feats['item'].shape}  "
+              f"a2a_capacity_factor: {a2a_capacity_factor}")
+        for name, b in (("gspmd-inferred", gs_bytes),
+                        ("explicit-a2a", tp_bytes)):
+            tot = sum(b.values())
+            parts = ", ".join(f"{k}={v / 1024:.1f}KiB"
+                              for k, v in b.items() if v)
+            print(f"{name:15s} total {tot / 1024:8.1f} KiB/step  ({parts})")
+    return gs_bytes, tp_bytes
+
+
+def measure_lookup(n_rows: int, d: int = 256, batch: int = 4096,
+                   capacity_factor: float = 2.0):
+    """Lookup-only bytes: XLA-inferred plan vs the bucketed a2a exchange.
+
+    Table [n_rows, D] row-sharded over an 8-wide 'model' mesh; ids [batch]
+    sharded the same way (each device resolves batch/8 ids).  Returns
+    (gspmd_bytes, a2a_worst_bytes, a2a_capacity_bytes) dicts — the
+    full-step comparison buries the lookup under the gradient all-reduce
+    (identical in both plans), so this isolates the exchange itself.
+    """
+    import functools
+    import math
+
+    from jax import shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from gnn_recsys_tpu.parallel.sharded import row_sharded_lookup_a2a
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("model",))
+    m = 8
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(n_rows, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n_rows, batch).astype(np.int32))
+    t_sh = jax.device_put(table, NamedSharding(mesh, P("model", None)))
+    i_sh = jax.device_put(ids, NamedSharding(mesh, P("model")))
+
+    # (a) GSPMD: let XLA pick the plan for a sharded-table sharded-ids
+    # gather with sharded output.
+    gs = (
+        jax.jit(
+            lambda t, i: jnp.take(t, i, axis=0),
+            out_shardings=NamedSharding(mesh, P("model", None)),
+        )
+        .lower(t_sh, i_sh)
+        .compile()
+    )
+    gs_bytes = collective_bytes(gs.as_text())
+
+    def explicit(capacity):
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("model", None), P("model")),
+            out_specs=P("model"),
+            check_vma=False,
+        )
+        def f(t, i):
+            return row_sharded_lookup_a2a(t, i, "model", capacity=capacity)
+
+        return collective_bytes(f.lower(t_sh, i_sh).compile().as_text())
+
+    chunk = batch // m
+    cap = min(chunk, max(8, 8 * math.ceil(
+        capacity_factor * chunk / (m * 8))))
+    return gs_bytes, explicit(None), explicit(cap)
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep table sizes to locate the crossover "
+                         "where the explicit a2a plan beats GSPMD's")
+    ap.add_argument("--capacity-factor", type=float, default=2.0)
+    args = ap.parse_args()
+    if not args.sweep:
+        measure(a2a_capacity_factor=args.capacity_factor)
+        return
+    # The bucketed exchange moves O(batch) bytes regardless of table
+    # size; XLA's inferred plan for a row-sharded gather moves
+    # table-sized operands once the table no longer matches the batch.
+    # Sweeping rows exposes the crossover — the regime where replicating
+    # or gathering the table stops being an option (the BASELINE
+    # north-star: tables too large to replicate).
+    print("lookup-only (8-way model mesh, batch 4096, D 256, f32):")
+    print(f"{'rows':>9} {'gspmd KiB':>12} {'a2a-worst KiB':>14} "
+          f"{'a2a-cap KiB':>12}")
+    rows = []
+    for n in (4096, 16384, 65536, 262144, 1048576):
+        gs, tp_w, tp_c = measure_lookup(
+            n, capacity_factor=args.capacity_factor
+        )
+        g_t, w_t, c_t = (sum(b.values()) / 1024 for b in (gs, tp_w, tp_c))
+        rows.append((n, g_t, w_t, c_t))
+        print(f"{n:9d} {g_t:12.1f} {w_t:14.1f} {c_t:12.1f}", flush=True)
+    wins = [r for r in rows if r[3] < r[1]]
+    if wins:
+        print(f"explicit-a2a (capacity factor {args.capacity_factor}) wins "
+              f"bytes-on-wire from {wins[0][0]} rows up "
+              f"({wins[0][3]:.1f} vs {wins[0][1]:.1f} KiB)")
+    else:
+        print("explicit-a2a never wins in this sweep")
+    print("\nfull-step (2-wide model axis, toy config — gradient "
+          "all-reduce dominates both plans):")
+    measure(a2a_capacity_factor=args.capacity_factor)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,8 @@ def main():
                     help="bench-size graph (default: small)")
     ap.add_argument("--topk", type=int, default=30)
     ap.add_argument("--out", default=None, help="keep trace dir here")
+    ap.add_argument("--leaf-kernel", action="store_true",
+                    help="profile with the fused Pallas leaf kernel on")
     args = ap.parse_args()
 
     import jax
@@ -99,6 +101,8 @@ def main():
 
     t0 = time.perf_counter()
     model, data, g, feats = bench.build(small_graph=not args.full)
+    if args.leaf_kernel:
+        model = model.clone(leaf_kernel=True)
     params = init_model(model, g, feats, seed=0)
     print(f"build+init {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 

@@ -91,6 +91,14 @@ class ConvModel(nn.Module):
     # largest single level, at ~one extra forward of compute — the TPU
     # HBM-for-FLOPs trade for deep models (n_layers 4-5) or wide fanouts.
     remat_levels: bool = False
+    # Fused Pallas leaf kernel (ops/pallas/leaf_agg.py) for the folded
+    # ``*_nn`` mean leaf: computes masked-mean(relu(x @ W_eff + b_eff))
+    # without materializing the [P, K, H] per-message activations in HBM,
+    # and its custom VJP recomputes relu' blockwise instead of saving the
+    # activation residual / re-gathering x into conv dW fusions.  Single
+    # chip only (a pallas_call is opaque to GSPMD partitioning) — keep
+    # False under a mesh; runs in interpret mode off-TPU.
+    leaf_kernel: bool = False
 
     def __post_init__(self):
         # Validate eagerly at construction, not at first trace: flax only
@@ -444,29 +452,38 @@ class ConvModel(nn.Module):
             and (layer.dropout == 0.0 or deterministic)
         )
 
-    def _leaf_transform_composed(
-        self, layer, src_ntype: str, raw: jax.Array
-    ) -> jax.Array:
-        """``relu(fc_preagg(embed(raw)))`` via composed effective weights.
+    def _composed_leaf_weights(
+        self, layer, src_ntype: str, d_raw: int, dtype
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Effective ``(W_eff [d_raw, H], b_eff [H])`` of embed+fc_preagg.
 
-        The weights are extracted by probing each affine module at basis
-        points (rows of an identity + a zero row), which is exact and
-        fully differentiable: ``embed`` maps ``x -> x @ W1 + b1`` and
+        Extracted by probing each affine module at basis points (rows of
+        an identity + a zero row), which is exact and fully
+        differentiable: ``embed`` maps ``x -> x @ W1 + b1`` and
         ``fc_preagg`` (bias-free) maps ``h -> h @ W2``, so
-        ``W_eff = W1 @ W2`` ([feat_dim, H] — tiny) and
-        ``b_eff = b1 @ W2``.  The compose matmuls are O(feat_dim * H^2)
-        once per step vs O(messages * H^2) per message.
+        ``W_eff = W1 @ W2`` and ``b_eff = b1 @ W2``.  The compose matmuls
+        are O(feat_dim * H^2) once per step vs O(messages * H^2) per
+        message.
         """
-        d_raw = raw.shape[-1]
         probe = jnp.concatenate(
-            [jnp.zeros((1, d_raw), raw.dtype),
-             jnp.eye(d_raw, dtype=raw.dtype)], axis=0
+            [jnp.zeros((1, d_raw), dtype), jnp.eye(d_raw, dtype=dtype)],
+            axis=0,
         )
         eb = self.embed[src_ntype](probe)  # rows: [b1; W1 + b1]
         h = eb.shape[-1]
         w2 = layer.fc_preagg(jnp.eye(h, dtype=eb.dtype))  # [H, H]
         b_eff = jnp.matmul(eb[0], w2)
         w_eff = jnp.matmul(eb[1:] - eb[0], w2)  # W1 @ W2
+        return w_eff, b_eff
+
+    def _leaf_transform_composed(
+        self, layer, src_ntype: str, raw: jax.Array
+    ) -> jax.Array:
+        """``relu(fc_preagg(embed(raw)))`` via composed effective weights
+        (see :meth:`_composed_leaf_weights`)."""
+        w_eff, b_eff = self._composed_leaf_weights(
+            layer, src_ntype, raw.shape[-1], raw.dtype
+        )
         # Match the unfolded path's computation dtype (embed casts inputs
         # to the module dtype, e.g. bf16 on the MXU).  Kept in the
         # caller's N-D shape: flattening to a 2-D matmul — whether here
@@ -477,7 +494,7 @@ class ConvModel(nn.Module):
         # ones-column (x_aug @ [W; b]) to fuse d(b_eff) into the dW conv
         # — the concat + 9-wide contraction cost MORE than the separate
         # [H]-output reduction it replaced (7.5 vs 6.7 ms/step).
-        return nn.relu(jnp.matmul(raw.astype(eb.dtype), w_eff) + b_eff)
+        return nn.relu(jnp.matmul(raw.astype(w_eff.dtype), w_eff) + b_eff)
 
     def _tree_level(
         self,
@@ -597,6 +614,48 @@ class ConvModel(nn.Module):
                     layer.combine(h_self, agg, deterministic=deterministic)
                 )
                 continue
+            if (
+                self.leaf_kernel
+                and raw_packed is None
+                and not need_eid
+                and layer.reducer == "mean"
+                and feature_lookup is None
+                and self._can_fold_leaf(layer, etype[0], level, deterministic)
+            ):
+                # Fused Pallas leaf: gather k-major, then ONE kernel does
+                # relu(x @ W_eff + b_eff) -> masked mean without writing
+                # the [P, K, H] per-message activations to HBM (forward
+                # OR backward), on a lane-packed representation — see
+                # ops/pallas/leaf_agg.py.
+                from gnn_recsys_tpu.ops.pallas.leaf_agg import (
+                    leaf_kernel_supported,
+                    leaf_mean_nn,
+                )
+
+                fdim = features[etype[0]].shape[-1]
+                if leaf_kernel_supported(fdim):
+                    w_eff, b_eff = self._composed_leaf_weights(
+                        layer, etype[0], fdim, self.dtype or jnp.float32,
+                    )
+                    kf = nbr.shape[-1]
+                    pkids = nbr.reshape(-1, kf)   # [P, K] parent-major ids
+                    p0 = pkids.shape[0]
+                    x = fetch_rows(etype[0], pkids.T.reshape(-1))  # k-major
+                    x_km = x.astype(w_eff.dtype).reshape(kf, p0, -1)
+                    maskf = mask.reshape(p0, kf).astype(jnp.float32)
+                    count = jnp.sum(maskf, axis=1, keepdims=True)
+                    mask_scaled = maskf / jnp.maximum(count, 1.0)
+                    agg = leaf_mean_nn(
+                        x_km, mask_scaled, w_eff, b_eff, 512,
+                        jax.default_backend() != "tpu",
+                    )
+                    agg = agg.reshape(*nbr.shape[:-1], agg.shape[-1])
+                    zs.append(
+                        layer.combine(
+                            h_self, agg, deterministic=deterministic
+                        )
+                    )
+                    continue
             if self._can_fold_leaf(layer, etype[0], level, deterministic):
                 # Keep the N-D shape through the transform: feeding the
                 # FLAT [M, F] gather output into a 2-D matmul reads

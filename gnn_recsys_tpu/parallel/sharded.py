@@ -184,6 +184,7 @@ def make_shardmap_tp_dp_step(
     model_axis: str = "model",
     row_shard_ntypes: Tuple[str, ...] = ("item",),
     has_reverse: Optional[Dict] = None,
+    a2a_capacity_factor: Optional[float] = None,
 ) -> Callable:
     """Explicit-collective 2-D step: data-parallel batches x row-sharded
     feature tables with ``all_to_all`` lookup exchange — the BASELINE
@@ -244,8 +245,18 @@ def make_shardmap_tp_dp_step(
                 mine = jax.lax.dynamic_slice_in_dim(
                     ids_p, my * chunk, chunk
                 )
+                # Statistical bucket capacity: mean per-peer load is
+                # chunk/m for near-uniform frontiers; the factor buys
+                # slack, the overflow lane keeps the tail exact.
+                cap = None
+                if a2a_capacity_factor is not None:
+                    import math
+
+                    cap = min(chunk, max(8, 8 * math.ceil(
+                        a2a_capacity_factor * chunk / (m * 8)
+                    )))
                 rows = row_sharded_lookup_a2a(
-                    features[nt], mine, axis=model_axis
+                    features[nt], mine, axis=model_axis, capacity=cap,
                 )
                 full = jax.lax.all_gather(
                     rows, model_axis, axis=0, tiled=True
@@ -288,27 +299,47 @@ def row_sharded_lookup_a2a(
     table_shard: jax.Array,
     ids_shard: jax.Array,
     axis: str = "model",
-) -> jax.Array:
+    capacity: Optional[int] = None,
+    overflow_capacity: Optional[int] = None,
+    return_dropped: bool = False,
+):
     """All-to-all embedding-row exchange for SHARDED queries x SHARDED table.
 
     The BASELINE north-star lookup pattern: each device holds a slice of the
     id batch (``ids_shard`` [B/m]) and a contiguous row range of the table
     (``table_shard`` [N/m, D]).  Requests are bucketed by owner shard,
     exchanged with ``all_to_all`` over ICI, answered by a local gather, and
-    routed back with a second ``all_to_all`` — communication
-    O(B/m * D * m) worst case (capacity = the full local batch per peer; a
-    production sizing would use a statistical capacity with overflow
-    retry).  Returns the [B/m, D] rows for this shard's ids.
+    routed back with a second ``all_to_all``.  Returns the [B/m, D] rows
+    for this shard's ids.
+
+    ``capacity`` sizes the per-peer request buckets.  ``None`` is the
+    worst case (``B/m`` per peer — always exact, communication
+    O(B/m * D * m)).  A STATISTICAL capacity ``c`` (e.g. ``2 * B/m^2`` for
+    near-uniform ids: bucket loads are Binomial(B/m, 1/m), so a small
+    multiple of the mean covers them with overwhelming probability) cuts
+    the exchange to O(c * D * m); requests that overflow their bucket are
+    resolved EXACTLY through a bounded overflow lane — an ``all_gather``
+    of up to ``overflow_capacity`` (default ``capacity``) spilled ids per
+    shard answered by a :func:`row_sharded_lookup` psum.  Only ids beyond
+    BOTH budgets are dropped (rows come back zero); the psum'd drop count
+    is returned when ``return_dropped`` so callers can assert it is 0
+    after the step (the production contract: size capacity for
+    ~zero-probability overflow, detect — don't silently corrupt — the
+    pathological tail).  NOTE: contiguous-range sharding makes bucket
+    loads track the id distribution; for popularity-skewed catalogs,
+    permute ids (hash-shard) before sharding the table or size capacity
+    for the skew.
     """
     m = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
     per_rows = table_shard.shape[0]
     b = ids_shard.shape[0]
     d = table_shard.shape[1]
+    c = b if capacity is None else min(int(capacity), b)
+    oc = c if overflow_capacity is None else min(int(overflow_capacity), b)
 
     owner = jnp.clip(ids_shard // per_rows, 0, m - 1)  # [B]
-    # Stable-sort queries by owner; slot queries into per-owner buckets of
-    # capacity b (worst case: every id owned by one shard).
+    # Stable-sort queries by owner; slot queries into per-owner buckets.
     order = jnp.argsort(owner, stable=True)
     sorted_ids = ids_shard[order]
     sorted_owner = owner[order]
@@ -316,8 +347,13 @@ def row_sharded_lookup_a2a(
     pos_in_bucket = jnp.arange(b) - jnp.searchsorted(
         sorted_owner, sorted_owner, side="left"
     )
-    send_ids = jnp.full((m, b), -1, dtype=ids_shard.dtype)
-    send_ids = send_ids.at[sorted_owner, pos_in_bucket].set(sorted_ids)
+    fits = pos_in_bucket < c
+    send_ids = jnp.full((m, c), -1, dtype=ids_shard.dtype)
+    # Overflow entries scatter to the out-of-bounds column c and are
+    # dropped — they must NOT clobber the valid id living in slot c-1.
+    send_ids = send_ids.at[
+        sorted_owner, jnp.where(fits, pos_in_bucket, c)
+    ].set(sorted_ids, mode="drop")
 
     # Exchange request buckets: recv[j] = the bucket peer j sent to me.
     recv_ids = jax.lax.all_to_all(send_ids, axis, 0, 0, tiled=False)
@@ -326,12 +362,44 @@ def row_sharded_lookup_a2a(
     local = recv_ids - my * per_rows
     valid = (recv_ids >= 0) & (local >= 0) & (local < per_rows)
     rows = jnp.take(table_shard, jnp.clip(local, 0, per_rows - 1), axis=0)
-    rows = jnp.where(valid[..., None], rows, 0)  # [m, b, D]
+    rows = jnp.where(valid[..., None], rows, 0)  # [m, c, D]
 
     # Route responses back and un-bucket.
-    resp = jax.lax.all_to_all(rows, axis, 0, 0, tiled=False)  # [m, b, D]
-    gathered_sorted = resp[sorted_owner, pos_in_bucket]  # [B, D]
+    resp = jax.lax.all_to_all(rows, axis, 0, 0, tiled=False)  # [m, c, D]
+    gathered_sorted = resp[
+        sorted_owner, jnp.minimum(pos_in_bucket, c - 1)
+    ]  # [B, D]
+
+    dropped = jnp.int32(0)
+    if c < b:
+        # Bounded overflow lane: pack this shard's spilled ids into a
+        # static [oc] buffer, all_gather so every shard sees every spill
+        # (row_sharded_lookup needs axis-replicated ids), answer with the
+        # psum lookup, and slice back this shard's segment.
+        ovf = ~fits
+        rank = jnp.cumsum(ovf) - 1
+        in_budget = ovf & (rank < oc)
+        buf = jnp.zeros((oc,), ids_shard.dtype).at[
+            jnp.where(in_budget, rank, oc)
+        ].set(jnp.where(in_budget, sorted_ids, 0), mode="drop")
+        all_ovf = jax.lax.all_gather(buf, axis, axis=0, tiled=True)
+        ovf_rows = row_sharded_lookup(table_shard, all_ovf, axis)
+        mine = jax.lax.dynamic_slice_in_dim(ovf_rows, my * oc, oc)
+        gathered_sorted = jnp.where(
+            ovf[:, None],
+            jnp.take(mine, jnp.clip(rank, 0, oc - 1), axis=0),
+            gathered_sorted,
+        )
+        gathered_sorted = jnp.where(
+            (ovf & (rank >= oc))[:, None], 0, gathered_sorted
+        )
+        dropped = jax.lax.psum(
+            jnp.sum(ovf & (rank >= oc)).astype(jnp.int32), axis
+        )
+
     out = jnp.zeros((b, d), table_shard.dtype).at[order].set(gathered_sorted)
+    if return_dropped:
+        return out, dropped
     return out
 
 

@@ -196,6 +196,82 @@ def test_row_sharded_lookup_a2a_equals_gather():
     )
 
 
+def test_row_sharded_lookup_a2a_statistical_capacity_exact():
+    """Capacity-limited buckets + the overflow lane stay exact.
+
+    Uniform ids with capacity ~2x the Binomial mean: occasional bucket
+    overflows resolve through the bounded psum lane, dropped == 0, and
+    rows equal the plain gather bit-for-bit.
+    """
+    from gnn_recsys_tpu.parallel.sharded import row_sharded_lookup_a2a
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("model",))
+    n, d, b = 512, 16, 256  # 64 rows/shard, 32 ids/shard, mean load 4
+    rng = np.random.default_rng(7)
+    table = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, n, b).astype(np.int32))
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model")),
+        out_specs=(P("model"), P(None)),
+        check_vma=False,
+    )
+    def lookup(table_shard, ids_shard):
+        out, dropped = row_sharded_lookup_a2a(
+            table_shard, ids_shard, "model", capacity=8,
+            overflow_capacity=16, return_dropped=True,
+        )
+        return out, dropped[None]
+
+    got, dropped = lookup(table, ids)
+    assert int(dropped[0]) == 0
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jnp.take(table, ids, axis=0)), rtol=1e-6
+    )
+
+
+def test_row_sharded_lookup_a2a_overflow_detected_not_corrupted():
+    """Adversarial skew beyond both budgets: valid rows stay exact, only
+    over-budget rows zero, and the drop counter reports them."""
+    from gnn_recsys_tpu.parallel.sharded import row_sharded_lookup_a2a
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("model",))
+    n, d, b = 64, 8, 64  # 8 ids/shard
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    # EVERY id on shard 0: per-shard bucket load 8 >> capacity 2 + oc 2.
+    ids = jnp.asarray(rng.integers(0, 8, b).astype(np.int32))
+
+    @jax.jit
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("model", None), P("model")),
+        out_specs=(P("model"), P(None)),
+        check_vma=False,
+    )
+    def lookup(table_shard, ids_shard):
+        out, dropped = row_sharded_lookup_a2a(
+            table_shard, ids_shard, "model", capacity=2,
+            overflow_capacity=2, return_dropped=True,
+        )
+        return out, dropped[None]
+
+    got, dropped = lookup(table, ids)
+    # 8 ids/shard, 2 via a2a + 2 via overflow -> 4 dropped per shard.
+    assert int(dropped[0]) == 8 * 4
+    want = np.asarray(jnp.take(table, ids, axis=0))
+    got = np.asarray(got)
+    # Each row is either exact or exactly zero (dropped), never garbage.
+    exact = np.isclose(got, want, rtol=1e-6).all(axis=1)
+    zero = (got == 0.0).all(axis=1)
+    assert (exact | zero).all()
+    assert int((~exact).sum()) == 8 * 4
+
+
 @pytest.mark.slow
 def test_train_minibatch_with_mesh(world):
     """End-to-end DP training through train_minibatch(mesh=...)."""
