@@ -46,7 +46,10 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="2k users / 800 items (CI-sized)")
     ap.add_argument("--configs", default="default,mean,few_neg",
-                    help="comma list: default|mean|few_neg|shallow")
+                    help="comma list: default|mean|few_neg|shallow|...")
+    ap.add_argument("--lr-schedule", default="const",
+                    choices=("const", "cosine"))
+    ap.add_argument("--out-name", default="quality_hard")
     args = ap.parse_args()
 
     import jax
@@ -107,7 +110,7 @@ def main():
     print(f"anchors: {anchors}", file=sys.stderr)
 
     # ---------------- configs ------------------------------------------
-    def build_model(agg, n_layers=3, pred="cos"):
+    def build_model(agg, n_layers=3, pred="cos", hetero="sum"):
         return ConvModel(
             canonical_etypes=g.canonical_etypes,
             dims=(("user", fdim), ("item", fdim),
@@ -115,7 +118,7 @@ def main():
             n_layers=n_layers,
             aggregator_type=agg,
             pred=pred,
-            aggregator_hetero="sum",
+            aggregator_hetero=hetero,
             # embedding_layer True (2 conv hops at n_layers=3): same
             # layer-count semantics as the throughput bench; the
             # reference default is False (3 hops) but 3 uniform hops at
@@ -134,6 +137,10 @@ def main():
         # unlike cosine it can express MAGNITUDE — the popularity prior —
         # directly in the learned score.
         "nn_pred": dict(agg="mean_nn", lr=5.65e-3, pool=2560, pred="nn"),
+        # HP-informed long-run candidates (round-4 search on the 20k
+        # world surfaced max-hetero / larger deltas as competitive).
+        "hp_best": dict(agg="mean_nn", lr=1.4e-3, pool=2560,
+                        hetero="max"),
     }
     train_etypes = tuple(data.train_pairs.keys())
     train_eids = {et: np.arange(g.num_edges(et)) for et in train_etypes}
@@ -146,7 +153,7 @@ def main():
     for name in args.configs.split(","):
         c = CONFIGS[name]
         model = build_model(c["agg"], c.get("n_layers", 3),
-                            c.get("pred", "cos"))
+                            c.get("pred", "cos"), c.get("hetero", "sum"))
         fanouts = tuple([8, 4][: model.num_conv_layers])
         cfg = MinibatchConfig(
             edge_batch_size=args.edge_batch,
@@ -154,8 +161,9 @@ def main():
             neg_sample_size=min(2500, c["pool"]),
             neg_mode="dense_pool",
             neg_pool_size=c["pool"],
-            delta=0.266,
+            delta=c.get("delta", 0.266),
             lr=c["lr"],
+            lr_schedule=args.lr_schedule,
             num_epochs=args.epochs,
             metrics_every=2,
             patience=args.epochs,  # no early stop; we want the curve
@@ -185,18 +193,28 @@ def main():
                              ntypes=("user", "item"))
         deg = np.bincount(bi, minlength=args.items).astype(np.float32)
         pop = jnp.asarray(deg / max(deg.max(), 1.0))
+        # The popularity VECTOR is caller-supplied (reference
+        # src/metrics.py:69-72 reads g.ndata['popularity'] — a count
+        # fraction).  The generator's prior is exp(w * LOG-pop), so the
+        # log-count vector is the matched functional form: with ORACLE
+        # latents, cos+w*logpop reaches 0.0416 of the 0.0421 full
+        # ceiling vs 0.0325 for the linear fraction (round-4 ceiling
+        # decomposition).  Both are swept here.
+        logpop = np.log1p(deg)
+        logpop = jnp.asarray(logpop / max(logpop.max(), 1e-9))
         # Small weights matter: softmax over a 15k catalog is ~1e-4 per
-        # item, so w >= 0.05 makes the popularity prior dominate the
-        # ranking outright (observed: identical recall across w in
-        # {0.05, 0.1, 0.2} = the popularity list with model tiebreaks).
+        # item, so large w makes the popularity prior dominate the
+        # ranking outright.
         boosted = {}
-        for w in (2e-4, 1e-3, 5e-3, 0.05):
-            _, r_b, _ = get_metrics_at_k(
-                h["user"], h["item"], data.test_ground_truth, (bu, bi), k,
-                popularity=pop, weight_popularity=w, backend="xla",
-                score_fn=sfn,
-            )
-            boosted[w] = round(float(r_b), 5)
+        for vec_name, vec in (("lin", pop), ("log", logpop)):
+            for w in (2e-4, 1e-3, 3e-3, 0.01, 0.03, 0.05):
+                _, r_b, _ = get_metrics_at_k(
+                    h["user"], h["item"], data.test_ground_truth,
+                    (bu, bi), k,
+                    popularity=vec, weight_popularity=w, backend="xla",
+                    score_fn=sfn,
+                )
+                boosted[f"{vec_name}:{w}"] = round(float(r_b), 5)
         results[name] = {
             "recall_curve": rec,
             "recall_boosted_final": boosted,
@@ -208,7 +226,7 @@ def main():
               f"(wall {wall:.0f}s)", file=sys.stderr)
 
     os.makedirs(os.path.join(REPO, "outputs"), exist_ok=True)
-    out_path = os.path.join(REPO, "outputs", "quality_hard.json")
+    out_path = os.path.join(REPO, "outputs", f"{args.out_name}.json")
     payload = {
         "meta": {
             "users": args.users, "items": args.items,
@@ -241,9 +259,9 @@ def main():
         ax.set_title("hard synthetic: training-regime separation")
         ax.legend()
         os.makedirs(os.path.join(REPO, "plots"), exist_ok=True)
-        fig.savefig(os.path.join(REPO, "plots", "quality_hard.png"),
+        fig.savefig(os.path.join(REPO, "plots", f"{args.out_name}.png"),
                     dpi=120, bbox_inches="tight")
-        print("-> plots/quality_hard.png", file=sys.stderr)
+        print(f"-> plots/{args.out_name}.png", file=sys.stderr)
     except Exception as e:  # matplotlib optional
         print(f"plot skipped: {e!r}", file=sys.stderr)
 

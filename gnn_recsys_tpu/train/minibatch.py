@@ -91,6 +91,11 @@ class MinibatchConfig:
     neg_pool_size: int = 1024
     delta: float = 0.266
     lr: float = 1e-3
+    # 'const' (reference: fixed Adam lr, src/train/run.py) or 'cosine'
+    # (decay to ~0 over the scheduled run — the standard long-run
+    # schedule; curves on the hard benchmark keep rising past epoch 20
+    # at const lr but oscillate, see docs/results/quality_hard_r3*).
+    lr_schedule: str = "const"
     num_epochs: int = 50
     remove_false_negative: bool = True
     use_recency: bool = False
@@ -563,8 +568,20 @@ def train_minibatch(
     """
     if state is None:
         params = init_model(model, train_graph, features, seed=cfg.seed)
+        if cfg.lr_schedule == "cosine":
+            total = sum(len(v) for v in train_eids.values())
+            steps_per_epoch = max(
+                1, int(np.ceil(total / cfg.edge_batch_size))
+            )
+            tx = optax.adam(optax.cosine_decay_schedule(
+                cfg.lr, max(1, cfg.num_epochs * steps_per_epoch)
+            ))
+        elif cfg.lr_schedule == "const":
+            tx = optax.adam(cfg.lr)
+        else:
+            raise ValueError(f"unknown lr_schedule {cfg.lr_schedule!r}")
         state = TrainState.create(
-            apply_fn=model.apply, params=params, tx=optax.adam(cfg.lr)
+            apply_fn=model.apply, params=params, tx=tx
         )
     train_etypes = tuple(train_eids.keys())
     has_reverse = {
