@@ -94,8 +94,13 @@ def main():
     bu, bi = data.train_pairs[("user", "buys", "item")]
     train_etypes = tuple(data.train_pairs.keys())
     host_edges = {et: (u, i) for et, (u, i) in data.train_pairs.items()}
+    # Reference popularity semantics: per-item fraction of purchases
+    # (counts/sum — src/utils_data.py import via etl.import_features),
+    # NOT counts/max: the reference weights (0.05-0.2) are calibrated
+    # against softmax ratings (~1/catalog each), so a [0,1]-normalized
+    # vector would drown the model for every pop!=no trial.
     deg = np.bincount(bi, minlength=args.items).astype(np.float32)
-    popularity = jnp.asarray(deg / max(deg.max(), 1.0))
+    popularity = jnp.asarray(deg / max(deg.sum(), 1.0))
     print(f"build: {time.perf_counter() - t0:.1f}s "
           f"devices={jax.devices()}", file=sys.stderr)
 

@@ -192,7 +192,11 @@ def main():
         h = infer_embeddings(model, state.params, g, feats,
                              ntypes=("user", "item"))
         deg = np.bincount(bi, minlength=args.items).astype(np.float32)
-        pop = jnp.asarray(deg / max(deg.max(), 1.0))
+        # Reference popularity semantics: purchase FRACTION
+        # (counts/sum, etl.import_features) — matched to the reference
+        # boost weights {0.05, 0.1, 0.2} against ~1/catalog softmax
+        # scores.
+        pop = jnp.asarray(deg / max(deg.sum(), 1.0))
         # The popularity VECTOR is caller-supplied (reference
         # src/metrics.py:69-72 reads g.ndata['popularity'] — a count
         # fraction).  The generator's prior is exp(w * LOG-pop), so the
@@ -206,8 +210,14 @@ def main():
         # item, so large w makes the popularity prior dominate the
         # ranking outright.
         boosted = {}
-        for vec_name, vec in (("lin", pop), ("log", logpop)):
-            for w in (2e-4, 1e-3, 3e-3, 0.01, 0.03, 0.05):
+        for vec_name, vec, grid in (
+            # fraction vector: reference weights + a wider tail (its
+            # per-item scale is ~1/catalog, like the softmax scores)
+            ("lin", pop, (0.05, 0.1, 0.2, 1.0, 5.0)),
+            # log-count vector normalized to [0,1]: small weights
+            ("log", logpop, (3e-4, 1e-3, 3e-3, 0.01, 0.03, 0.1)),
+        ):
+            for w in grid:
                 _, r_b, _ = get_metrics_at_k(
                     h["user"], h["item"], data.test_ground_truth,
                     (bu, bi), k,

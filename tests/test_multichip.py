@@ -355,6 +355,21 @@ def test_tp_dp_a2a_step_matches_dp_step(world):
                   jax.random.fold_in(rng, 1))
     assert np.isfinite(float(loss2))
 
+    # Statistical-capacity bucketing (factor 2 + exact overflow lane)
+    # must not change the math.
+    tp_cap = make_shardmap_tp_dp_step(
+        model, cfg, etypes, mesh, row_shard_ntypes=("item",),
+        a2a_capacity_factor=2.0,
+    )
+    st_cap, loss_cap = tp_cap(state, g, feats, batch, tables, rng)
+    np.testing.assert_allclose(
+        float(loss_dp), float(loss_cap), rtol=1e-6, atol=1e-7
+    )
+    for a, b in zip(jax.tree.leaves(st_dp.params),
+                    jax.tree.leaves(st_cap.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
 
 def test_collective_bytes_parser():
     """benchmarks/comm_bytes.collective_bytes sums output bytes of
