@@ -20,6 +20,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--variants", default="off,on")
+    ap.add_argument("--block", type=int, default=512)
     args = ap.parse_args()
 
     import jax
@@ -83,7 +84,7 @@ def main() -> None:
 
     results = {}
     for variant in args.variants.split(","):
-        m = model.clone(leaf_kernel=(variant == "on"))
+        m = model.clone(leaf_kernel=(variant == "on"), leaf_block=args.block)
         state = TrainState.create(
             apply_fn=m.apply, params=params, tx=optax.adam(1e-3)
         )

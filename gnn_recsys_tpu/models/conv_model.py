@@ -99,6 +99,9 @@ class ConvModel(nn.Module):
     # chip only (a pallas_call is opaque to GSPMD partitioning) — keep
     # False under a mesh; runs in interpret mode off-TPU.
     leaf_kernel: bool = False
+    # Parents per kernel grid block (measured on v5e at the bench
+    # config: 512 vs 1024 within noise; 512 keeps VMEM headroom).
+    leaf_block: int = 512
 
     def __post_init__(self):
         # Validate eagerly at construction, not at first trace: flax only
@@ -646,7 +649,7 @@ class ConvModel(nn.Module):
                     count = jnp.sum(maskf, axis=1, keepdims=True)
                     mask_scaled = maskf / jnp.maximum(count, 1.0)
                     agg = leaf_mean_nn(
-                        x_km, mask_scaled, w_eff, b_eff, 512,
+                        x_km, mask_scaled, w_eff, b_eff, self.leaf_block,
                         jax.default_backend() != "tpu",
                     )
                     agg = agg.reshape(*nbr.shape[:-1], agg.shape[-1])
