@@ -423,14 +423,26 @@ class ConvModel(nn.Module):
         parameter creation) and at level 0 (a pure gather, nothing to save).
         The forward values are bit-identical either way.
         """
+        # Flatten the parent frontier for the level's internal compute:
+        # N-D frontiers (e.g. [4608, 4]) otherwise thread 3-D/4-D tensors
+        # with a 4-wide second-minor dim through the towers, which XLA
+        # tiles T(4,128) and relayout-copies against the T(8,128) world
+        # around them.  Pure reshapes — values are bit-identical.
+        shape = ids.shape
+        if ids.ndim != 1:
+            ids = ids.reshape(-1)
         if (self.remat_levels and level > 0 and feature_lookup is None
                 and not self.is_initializing()):
             fn = nn.remat(ConvModel._tree_level, static_argnums=(4, 5, 6, 7))
-            return fn(self, graph, features, exclude_eids, fanouts,
-                      deterministic, level, ntype, ids, key)
-        return self._tree_level(graph, features, exclude_eids, fanouts,
-                                deterministic, level, ntype, ids, key,
-                                feature_lookup=feature_lookup)
+            out = fn(self, graph, features, exclude_eids, fanouts,
+                     deterministic, level, ntype, ids, key)
+        else:
+            out = self._tree_level(graph, features, exclude_eids, fanouts,
+                                   deterministic, level, ntype, ids, key,
+                                   feature_lookup=feature_lookup)
+        if len(shape) != 1:
+            out = out.reshape(*shape, out.shape[-1])
+        return out
 
     def _can_fold_leaf(
         self, layer, src_ntype: str, level: int, deterministic: bool
