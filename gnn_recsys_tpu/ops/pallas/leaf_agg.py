@@ -80,7 +80,12 @@ def _fwd_kernel(x_ref, m_ref, w_ref, b_ref, out_ref, acc_ref, *, k: int):
     w = w_ref[:]
     b = b_ref[:]  # [1, H]
     for j in range(k):
-        z = jnp.dot(x_ref[j], w, preferred_element_type=jnp.float32) + b
+        # precision pinned to DEFAULT: an ambient
+        # jax_default_matmul_precision='highest' (the test suites set it
+        # for their oracles) otherwise reaches this dot and Mosaic
+        # rejects fp32-precision matmul on bf16 vectors ("Bad lhs type").
+        z = jnp.dot(x_ref[j], w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT) + b
         z = jnp.maximum(z, 0.0)
         acc_ref[:] += z * m_ref[:, j : j + 1]
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
@@ -97,7 +102,8 @@ def _bwd_kernel(x_ref, m_ref, w_ref, b_ref, g_ref, dw_ref, db_ref, *, k: int):
     g = g_ref[:].astype(jnp.float32)  # [bp, H]
     for j in range(k):
         xj = x_ref[j]  # [bp, F]
-        z = jnp.dot(xj, w, preferred_element_type=jnp.float32) + b
+        z = jnp.dot(xj, w, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.DEFAULT) + b
         gj = jnp.where(z > 0.0, g * m_ref[:, j : j + 1], 0.0)  # [bp, H]
         # dW += x^T @ gj: contraction over the bp rows — MXU-efficient.
         dw_ref[:] += jax.lax.dot_general(
@@ -105,6 +111,7 @@ def _bwd_kernel(x_ref, m_ref, w_ref, b_ref, g_ref, dw_ref, db_ref, *, k: int):
             gj,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT,
         )
         db_ref[:] += jnp.sum(gj, axis=0, keepdims=True)
 

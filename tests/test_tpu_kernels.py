@@ -24,7 +24,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def _run_on_tpu(code: str, timeout: int = 560) -> str:
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS",)}
-    env["PYTHONPATH"] = REPO
+    if "PALLAS_AXON_POOL_IPS" in env:
+        # The tunneled chip registers the experimental 'axon' platform,
+        # but platform SELECTION still needs JAX_PLATFORMS (the ambient
+        # default the suite conftest overwrote with 'cpu').  If the
+        # tunnel is dead, jax.devices() raises and the probe skips.
+        env["JAX_PLATFORMS"] = "axon"
+    # PREPEND the repo — the ambient PYTHONPATH may carry the platform's
+    # sitecustomize dir (clobbering it silently drops the TPU platform).
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (REPO, env.get("PYTHONPATH")) if p
+    )
     res = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         timeout=timeout, env=env,
@@ -37,8 +47,16 @@ def _run_on_tpu(code: str, timeout: int = 560) -> str:
 
 PREAMBLE = """
 import jax
-if jax.default_backend() not in ("tpu",):
+# The tunneled chip registers as the experimental 'axon' platform but
+# its devices report platform 'tpu'; accept either name.
+try:
+    devs = jax.devices()
+except Exception:
+    devs = []
+if not any(d.platform in ("tpu", "axon") for d in devs):
     print("NO_TPU"); raise SystemExit(0)
+# Oracle matmuls must not silently truncate to bf16 on the MXU.
+jax.config.update("jax_default_matmul_precision", "highest")
 import jax.numpy as jnp
 import numpy as np
 """
@@ -84,11 +102,11 @@ print("LEAF_OK")
 @pytest.mark.slow
 def test_topk_mips_mosaic_exact():
     out = _run_on_tpu(PREAMBLE + """
-from gnn_recsys_tpu.ops.pallas.topk_mips import topk_mips
+from gnn_recsys_tpu.ops.pallas.topk_mips import mips_topk
 rng = np.random.default_rng(1)
 u = jnp.asarray(rng.normal(size=(256, 64)), jnp.float32)
-it = jnp.asarray(rng.normal(size=(3000, 64)), jnp.float32)
-vals, idx = jax.jit(lambda a, b: topk_mips(a, b, 10))(u, it)
+it = jnp.asarray(rng.normal(size=(4096, 64)), jnp.float32)
+vals, idx = jax.jit(lambda a, b: mips_topk(a, b, 10))(u, it)
 sc = u @ it.T
 rv, ri = jax.lax.top_k(sc, 10)
 verr = float(jnp.max(jnp.abs(vals - rv)))
