@@ -75,6 +75,34 @@ def pair_set_contains(ps: PaddedPairSet, u: jax.Array, v: jax.Array) -> jax.Arra
     return jnp.any(rows[..., None, :] == v[..., None], axis=-1) & (v >= 0)
 
 
+def pair_set_contains_pool(
+    ps: PaddedPairSet,
+    u: jax.Array,
+    pool: jax.Array,
+    use_kernel: bool = False,
+) -> jax.Array:
+    """Membership of every (u[b], pool[p]) pair — the dense-pool
+    false-negative mask, where every positive probes the SAME pool.
+
+    Returns [B, P] f32.  ``use_kernel`` routes through the fused Pallas
+    compare (ops/pallas/pool_mask.py; interpret mode off-TPU) — single
+    chip only, a pallas_call is opaque to GSPMD partitioning.
+    """
+    rows = jnp.take(ps.rows, u, axis=0, mode="clip")  # [B, K]
+    if use_kernel:
+        from gnn_recsys_tpu.ops.pallas.pool_mask import (
+            pool_membership_mask,
+        )
+
+        return pool_membership_mask(
+            rows, pool, interpret=jax.default_backend() != "tpu"
+        )
+    return (
+        jnp.any(rows[:, None, :] == pool[None, :, None], axis=-1)
+        & (pool >= 0)[None, :]
+    ).astype(jnp.float32)
+
+
 def scatter_row_mask(
     ps: PaddedPairSet, u: jax.Array, num_dst: int
 ) -> jax.Array:

@@ -50,6 +50,7 @@ from gnn_recsys_tpu.models.loss import max_margin_loss
 from gnn_recsys_tpu.ops.membership import (
     build_padded_pair_set,
     pair_set_contains,
+    pair_set_contains_pool,
 )
 from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
 from gnn_recsys_tpu.retrieval.recs import model_score_fn
@@ -89,6 +90,10 @@ class MinibatchConfig:
     #   config); per-negative marginal unchanged, effective S = P.
     neg_mode: str = "shared_pool"
     neg_pool_size: int = 1024
+    # Fused Pallas compare for the dense-pool false-negative mask
+    # (ops/pallas/pool_mask.py).  Single chip only — a pallas_call is
+    # opaque to GSPMD partitioning, so keep False under a mesh.
+    pool_mask_kernel: bool = False
     delta: float = 0.266
     lr: float = 1e-3
     # 'const' (reference: fixed Adam lr, src/train/run.py) or 'cosine'
@@ -280,9 +285,19 @@ def make_minibatch_step(
                 # vectorized compares by ~10x per probe here.
                 neg_mask = {}
                 for et in train_etypes:
-                    neg_mask[et] = pair_set_contains(
-                        edge_tables[et], pairs[et][0], neg_dst[et]
-                    ).astype(jnp.float32)
+                    if cfg.neg_mode == "dense_pool":
+                        # Every positive probes the SAME pool: rank-1
+                        # probe matrix, no [B, P] neg_dst needed.
+                        neg_mask[et] = jax.lax.stop_gradient(
+                            pair_set_contains_pool(
+                                edge_tables[et], pairs[et][0], pool,
+                                use_kernel=cfg.pool_mask_kernel,
+                            )
+                        )
+                    else:
+                        neg_mask[et] = pair_set_contains(
+                            edge_tables[et], pairs[et][0], neg_dst[et]
+                        ).astype(jnp.float32)
             return max_margin_loss(
                 pos_s,
                 neg_s,
