@@ -21,6 +21,7 @@ def main() -> None:
     ap.add_argument("--small", action="store_true")
     ap.add_argument("--variants", default="off,on")
     ap.add_argument("--block", type=int, default=512)
+    ap.add_argument("--pool-mask-kernel", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -43,6 +44,7 @@ def main() -> None:
     cfg = MinibatchConfig(
         edge_batch_size=2048, fanouts=(8, 4), neg_sample_size=2500,
         neg_mode="dense_pool", neg_pool_size=2560,
+        pool_mask_kernel=args.pool_mask_kernel,
     )
     params = init_model(model, g, feats, seed=0)
     train_etypes = tuple(data.train_pairs.keys())
