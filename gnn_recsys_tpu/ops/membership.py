@@ -89,7 +89,9 @@ def pair_set_contains_pool(
     chip only, a pallas_call is opaque to GSPMD partitioning.
     """
     rows = jnp.take(ps.rows, u, axis=0, mode="clip")  # [B, K]
-    if use_kernel:
+    # The kernel unrolls the K compares; cap it so hub graphs with
+    # huge max out-degree don't mint enormous Mosaic programs.
+    if use_kernel and rows.shape[1] <= 128:
         from gnn_recsys_tpu.ops.pallas.pool_mask import (
             pool_membership_mask,
         )
