@@ -203,9 +203,10 @@ def measure_lookup(n_rows: int, d: int = 256, batch: int = 4096,
 
         return collective_bytes(f.lower(t_sh, i_sh).compile().as_text())
 
+    from gnn_recsys_tpu.parallel.sharded import statistical_a2a_capacity
+
     chunk = batch // m
-    cap = min(chunk, max(8, 8 * math.ceil(
-        capacity_factor * chunk / (m * 8))))
+    cap = statistical_a2a_capacity(chunk, m, capacity_factor)
     return gs_bytes, explicit(None), explicit(cap)
 
 

@@ -95,9 +95,11 @@ class ConvModel(nn.Module):
     # ``*_nn`` mean leaf: computes masked-mean(relu(x @ W_eff + b_eff))
     # without materializing the [P, K, H] per-message activations in HBM,
     # and its custom VJP recomputes relu' blockwise instead of saving the
-    # activation residual / re-gathering x into conv dW fusions.  Single
-    # chip only (a pallas_call is opaque to GSPMD partitioning) — keep
-    # False under a mesh; runs in interpret mode off-TPU.
+    # activation residual / re-gathering x into conv dW fusions.  A
+    # pallas_call is opaque to GSPMD auto-partitioning, so
+    # train_minibatch(mesh=...) rejects the flag; the shard_map steps
+    # (parallel/sharded.py) run it on per-device blocks and are
+    # supported.  Runs in interpret mode off-TPU.
     leaf_kernel: bool = False
     # Parents per kernel grid block (measured on v5e at the bench
     # config: 512 vs 1024 within noise; 512 keeps VMEM headroom).

@@ -88,6 +88,13 @@ def csc_pack(
         return None
     src = np.ascontiguousarray(src, dtype=np.int32)
     dst = np.ascontiguousarray(dst, dtype=np.int32)
+    # The C++ packer indexes its output rows by dst unchecked — validate
+    # here so a bad id raises instead of segfaulting the process.
+    if dst.size and (dst.min() < 0 or dst.max() >= num_dst):
+        raise ValueError(
+            f"dst ids out of range [0, {num_dst}): "
+            f"min={dst.min()}, max={dst.max()}"
+        )
     e = src.shape[0]
     nbr = np.empty((num_dst, k), dtype=np.int32)
     nbr_eid = np.empty((num_dst, k), dtype=np.int32)

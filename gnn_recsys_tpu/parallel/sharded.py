@@ -32,6 +32,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -175,6 +176,20 @@ def make_shardmap_dp_step(
     return jax.jit(step)
 
 
+def statistical_a2a_capacity(chunk: int, m: int, factor: float) -> int:
+    """Per-peer a2a bucket capacity for near-uniform id frontiers.
+
+    Mean per-peer load is ``chunk / m`` (bucket loads are
+    Binomial(chunk, 1/m)); ``factor`` buys tail slack, rounded up to a
+    multiple of 8 sublanes and clamped to the worst case ``chunk``.
+    Shared by the production step builder and ``benchmarks/comm_bytes.py``
+    so the measured and shipped sizing cannot drift.
+    """
+    import math
+
+    return min(chunk, max(8, 8 * math.ceil(factor * chunk / (m * 8))))
+
+
 def make_shardmap_tp_dp_step(
     model: ConvModel,
     cfg: MinibatchConfig,
@@ -185,6 +200,7 @@ def make_shardmap_tp_dp_step(
     row_shard_ntypes: Tuple[str, ...] = ("item",),
     has_reverse: Optional[Dict] = None,
     a2a_capacity_factor: Optional[float] = None,
+    hash_mix_logs: Optional[Dict[str, int]] = None,
 ) -> Callable:
     """Explicit-collective 2-D step: data-parallel batches x row-sharded
     feature tables with ``all_to_all`` lookup exchange — the BASELINE
@@ -207,10 +223,25 @@ def make_shardmap_tp_dp_step(
     placement) computes the same math with XLA-inferred collectives;
     ``tests/test_multichip.py`` asserts the two agree and
     ``benchmarks/comm_bytes.py`` compares their bytes on the wire.
+
+    With ``a2a_capacity_factor`` set, the step returns
+    ``(state, loss, dropped)`` — the global count of lookup ids that
+    overflowed BOTH the statistical bucket capacity and the bounded
+    overflow lane (their rows come back zero).  Callers must surface it
+    (the production contract is ``dropped == 0``; sizing that drops is a
+    config bug, not a silent quality tax).  Without a capacity factor the
+    exchange is worst-case exact and the step returns ``(state, loss)``.
+
+    ``hash_mix_logs`` maps ntypes whose tables were laid out by
+    :func:`hash_shard_table` to their ``n2_log``: lookups mix ids first,
+    which keeps per-peer bucket loads Binomial under popularity-skewed
+    frontiers — the production default when a capacity factor is set
+    (contiguous-range sharding sends every hot-head id to one shard).
     """
     if has_reverse is None:
         has_reverse = {et: True for et in train_etypes}
     m = mesh.shape[model_axis]
+    with_drops = a2a_capacity_factor is not None
 
     def step(state, graph, features, batch, edge_tables, rng):
         repl = jax.tree.map(lambda _: P(), (state, graph, edge_tables))
@@ -225,74 +256,152 @@ def make_shardmap_tp_dp_step(
             mesh=mesh,
             in_specs=(repl[0], repl[1], feat_specs, batch_spec, repl[2],
                       P()),
-            out_specs=(P(), P()),
+            out_specs=(P(), P(), P()) if with_drops else (P(), P()),
             check_vma=False,
         )
         def _sharded(state, graph, features, batch, edge_tables, rng):
-            def feature_lookup(nt, flat_ids):
-                if nt not in row_shard_ntypes:
-                    return jnp.take(features[nt], flat_ids, axis=0)
-                # Split this data-shard's (model-axis-replicated) frontier
-                # across the model axis; resolve each slice with the
-                # a2a exchange; reassemble with an all_gather.
-                b = flat_ids.shape[0]
-                pad = (-b) % m
-                ids_p = jnp.concatenate(
-                    [flat_ids, jnp.zeros((pad,), flat_ids.dtype)]
-                )
-                chunk = ids_p.shape[0] // m
-                my = jax.lax.axis_index(model_axis)
-                mine = jax.lax.dynamic_slice_in_dim(
-                    ids_p, my * chunk, chunk
-                )
-                # Statistical bucket capacity: mean per-peer load is
-                # chunk/m for near-uniform frontiers; the factor buys
-                # slack, the overflow lane keeps the tail exact.
-                cap = None
-                if a2a_capacity_factor is not None:
-                    import math
-
-                    cap = min(chunk, max(8, 8 * math.ceil(
-                        a2a_capacity_factor * chunk / (m * 8)
-                    )))
-                rows = row_sharded_lookup_a2a(
-                    features[nt], mine, axis=model_axis, capacity=cap,
-                )
-                full = jax.lax.all_gather(
-                    rows, model_axis, axis=0, tiled=True
-                )
-                return full[:b]
-
             # Same rng per data shard ACROSS the model axis (the tree must
             # be identical for the a2a request sets to be consistent).
             shard_rng = jax.random.fold_in(
                 rng, jax.lax.axis_index(data_axis)
             )
-            eval_step = make_minibatch_step(
-                model, cfg, tuple(train_etypes), with_update=False,
-                with_exclusion=cfg.exclude_batch_edges,
-                has_reverse=has_reverse, jit=False,
-                feature_lookup=feature_lookup,
-            )
 
             def local_loss(params):
+                # The drop accumulator lives inside the traced loss so
+                # the per-lookup counts can flow out as grad aux.
+                drops = []
+
+                def feature_lookup(nt, flat_ids):
+                    if nt not in row_shard_ntypes:
+                        return jnp.take(features[nt], flat_ids, axis=0)
+                    if hash_mix_logs and nt in hash_mix_logs:
+                        flat_ids = hash_mix_ids(
+                            flat_ids, hash_mix_logs[nt]
+                        )
+                    # Split this data-shard's (model-axis-replicated)
+                    # frontier across the model axis; resolve each slice
+                    # with the a2a exchange; reassemble with all_gather.
+                    b = flat_ids.shape[0]
+                    pad = (-b) % m
+                    ids_p = jnp.concatenate(
+                        [flat_ids, jnp.zeros((pad,), flat_ids.dtype)]
+                    )
+                    chunk = ids_p.shape[0] // m
+                    my = jax.lax.axis_index(model_axis)
+                    mine = jax.lax.dynamic_slice_in_dim(
+                        ids_p, my * chunk, chunk
+                    )
+                    if with_drops:
+                        cap = statistical_a2a_capacity(
+                            chunk, m, a2a_capacity_factor
+                        )
+                        rows, d = row_sharded_lookup_a2a(
+                            features[nt], mine, axis=model_axis,
+                            capacity=cap, return_dropped=True,
+                        )
+                        drops.append(d)
+                    else:
+                        rows = row_sharded_lookup_a2a(
+                            features[nt], mine, axis=model_axis,
+                        )
+                    full = jax.lax.all_gather(
+                        rows, model_axis, axis=0, tiled=True
+                    )
+                    return full[:b]
+
+                eval_step = make_minibatch_step(
+                    model, cfg, tuple(train_etypes), with_update=False,
+                    with_exclusion=cfg.exclude_batch_edges,
+                    has_reverse=has_reverse, jit=False,
+                    feature_lookup=feature_lookup,
+                )
                 st = state.replace(params=params)
                 _, loss = eval_step(
                     st, graph, features, batch, edge_tables, shard_rng
                 )
-                return loss
+                dropped = (
+                    functools.reduce(jnp.add, drops)
+                    if drops else jnp.int32(0)
+                )
+                return loss, dropped
 
-            loss, grads = jax.value_and_grad(local_loss)(state.params)
+            (loss, dropped), grads = jax.value_and_grad(
+                local_loss, has_aux=True
+            )(state.params)
             grads = jax.lax.pmean(
                 jax.lax.pmean(grads, data_axis), model_axis
             )
             loss = jax.lax.pmean(jax.lax.pmean(loss, data_axis), model_axis)
             new_state = state.apply_gradients(grads=grads)
+            if with_drops:
+                # Already psum'd over the model axis inside the lookup;
+                # sum the per-data-shard counts for the global total.
+                dropped = jax.lax.psum(dropped, data_axis)
+                return new_state, loss, dropped
             return new_state, loss
 
         return _sharded(state, graph, features, batch, edge_tables, rng)
 
     return jax.jit(step)
+
+
+_MIX_A = np.int64(0x9E3779B1)  # odd 32-bit golden-ratio multipliers
+_MIX_B = np.int64(0x85EBCA77)
+
+
+def hash_mix_ids(ids: jax.Array, n2_log: int) -> jax.Array:
+    """Bijective murmur-style mix of ids within ``[0, 2**n2_log)``.
+
+    xorshift (bijective) and odd-multiply mod ``2**k`` (bijective)
+    rounds, so the map is a PERMUTATION of the padded id domain: every
+    id keeps a unique slot, and the owner shard (the high bits of the
+    mixed id under contiguous-range sharding) becomes pseudorandom
+    regardless of the input id distribution.  This is what makes
+    per-peer bucket loads Binomial for POPULARITY-SKEWED catalogs —
+    contiguous-range sharding of raw ids sends every hot-head id to the
+    same shard (the documented caveat of :func:`row_sharded_lookup_a2a`).
+    """
+    mask = jnp.uint32((1 << n2_log) - 1)
+    s1 = max(1, n2_log // 2)
+    v = ids.astype(jnp.uint32) & mask
+    v = (v ^ (v >> s1)) & mask
+    v = (v * jnp.uint32(_MIX_A)) & mask
+    v = (v ^ (v >> s1)) & mask
+    v = (v * jnp.uint32(_MIX_B)) & mask
+    v = (v ^ (v >> s1)) & mask
+    return v.astype(ids.dtype)
+
+
+def hash_shard_table(table, m: int) -> Tuple[jax.Array, int]:
+    """Lay a table out for hash-sharded row placement.
+
+    Pads to the next power of two (>= ``m`` shards) and permutes rows so
+    logical row ``i`` lives at physical slot ``hash_mix_ids(i)``; shard
+    the result over the model axis and resolve lookups with
+    :func:`row_sharded_lookup_a2a` on ``hash_mix_ids(ids, n2_log)``.
+    Returns ``(padded_permuted_table, n2_log)``.
+
+    Trade-off: the power-of-two pad costs up to 2x rows of zeros —
+    hash-sharding is the right default when bucket-capacity sizing (a2a
+    bytes) binds, contiguous sharding when HBM capacity binds.  Catalog
+    tables padded to lane multiples anyway often land on a power of two.
+    """
+    n = int(table.shape[0])
+    n2_log = max(int(np.ceil(np.log2(max(n, m, 2)))), 1)
+    n2 = 1 << n2_log
+    ids = np.arange(n, dtype=np.int64)
+    mask = n2 - 1
+    s1 = max(1, n2_log // 2)
+    v = ids & mask
+    v = (v ^ (v >> s1)) & mask
+    v = (v * int(_MIX_A)) & mask
+    v = (v ^ (v >> s1)) & mask
+    v = (v * int(_MIX_B)) & mask
+    v = (v ^ (v >> s1)) & mask
+    out = np.zeros((n2,) + tuple(table.shape[1:]),
+                   dtype=np.asarray(table).dtype)
+    out[v] = np.asarray(table)
+    return jnp.asarray(out), n2_log
 
 
 def row_sharded_lookup_a2a(

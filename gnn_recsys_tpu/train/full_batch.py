@@ -225,7 +225,11 @@ def train_full_batch(
         loss = float(loss)
         history["loss"].append(loss)
         history["epoch_time"].append(time.perf_counter() - t0)
-        if epoch % cfg.eval_every == cfg.eval_every - 1 or epoch == cfg.num_epochs - 1:
+        # eval_every=0 disables the cadence (same contract as
+        # MinibatchConfig.metrics_every); the final epoch always evals.
+        if (
+            cfg.eval_every and epoch % cfg.eval_every == cfg.eval_every - 1
+        ) or epoch == cfg.num_epochs - 1:
             h = compute_embeddings(model, state.params, data_graph, features)
             precision, recall, coverage = get_metrics_at_k(
                 h["user"],

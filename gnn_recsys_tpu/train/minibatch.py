@@ -91,8 +91,10 @@ class MinibatchConfig:
     neg_mode: str = "shared_pool"
     neg_pool_size: int = 1024
     # Fused Pallas compare for the dense-pool false-negative mask
-    # (ops/pallas/pool_mask.py).  Single chip only — a pallas_call is
-    # opaque to GSPMD partitioning, so keep False under a mesh.
+    # (ops/pallas/pool_mask.py).  A pallas_call is opaque to GSPMD
+    # auto-partitioning, so train_minibatch(mesh=...) rejects the flag;
+    # the shard_map steps (parallel/sharded.py) run it per device block
+    # and are supported (equality test-gated on the virtual mesh).
     pool_mask_kernel: bool = False
     delta: float = 0.266
     lr: float = 1e-3
@@ -666,6 +668,21 @@ def train_minibatch(
             shard_inputs,
         )
 
+        # The GSPMD path auto-partitions one jitted program; a
+        # pallas_call inside it is opaque to the partitioner and would
+        # fail or mis-partition at runtime.  (The shard_map steps in
+        # parallel/sharded.py DO support the kernels: there each device
+        # holds an explicit local block.)
+        if getattr(model, "leaf_kernel", False) or cfg.pool_mask_kernel:
+            raise ValueError(
+                "Pallas kernel flags (ConvModel.leaf_kernel, "
+                "MinibatchConfig.pool_mask_kernel) are not supported on "
+                "the GSPMD mesh path: pallas_call is opaque to the "
+                "auto-partitioner. Use make_shardmap_dp_step / "
+                "make_shardmap_tp_dp_step (parallel/sharded.py), which "
+                "run the kernels on per-device blocks, or disable the "
+                "kernel flags."
+            )
         data_extent = mesh.shape["data"]
         # Row-shard the selected feature tables over the 'model' axis when
         # present (embedding-table parallelism: GSPMD turns the tree's

@@ -134,3 +134,15 @@ def test_native_pack_is_faster_at_scale():
     print(f"native={t_native:.3f}s numpy={t_numpy:.3f}s")
     # the native path should never be slower at this scale
     assert t_native < t_numpy, (t_native, t_numpy)
+
+
+@pytest.mark.skipif(not native.native_available(), reason="no g++ / .so")
+def test_native_pack_rejects_out_of_range_dst():
+    """Out-of-range dst ids must raise, not write out of bounds: the C++
+    packer indexes its output rows by dst unchecked."""
+    src = np.asarray([0, 1], np.int32)
+    dst = np.asarray([0, 7], np.int32)
+    with pytest.raises(ValueError, match="out of range"):
+        native.csc_pack(src, dst, num_dst=4, k=2)
+    with pytest.raises(ValueError, match="out of range"):
+        native.csc_pack(src, np.asarray([-1, 0], np.int32), num_dst=4, k=2)
