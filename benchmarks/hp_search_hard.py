@@ -195,11 +195,9 @@ def main():
         )
     except TimeoutError as e:
         print(f"stopped: {e}", file=sys.stderr)
-        from gnn_recsys_tpu.hpsearch import latest_checkpoint
-        import pickle
+        from gnn_recsys_tpu.hpsearch import latest_checkpoint, load_checkpoint
 
-        with open(latest_checkpoint(args.logdir), "rb") as f:
-            state = pickle.load(f)
+        state = load_checkpoint(latest_checkpoint(args.logdir))
     best = state.best
     recalls = [-t.objective for t in state.trials]
     best_so_far = list(np.maximum.accumulate(recalls)) if recalls else []

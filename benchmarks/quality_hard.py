@@ -119,7 +119,7 @@ def main():
 
     # ---------------- configs ------------------------------------------
     def build_model(agg, n_layers=3, pred="cos", hetero="sum",
-                    embedding_layer=True):
+                    embedding_layer=True, norm=False, dropout=0.0):
         return ConvModel(
             canonical_etypes=g.canonical_etypes,
             dims=(("user", fdim), ("item", fdim),
@@ -128,6 +128,8 @@ def main():
             aggregator_type=agg,
             pred=pred,
             aggregator_hetero=hetero,
+            norm=norm,
+            dropout=dropout,
             # embedding_layer True (2 conv hops at n_layers=3) matches
             # the throughput bench; embedding_layer=False gives the
             # reference-DEFAULT depth (3 conv hops at n_layers=3,
@@ -164,6 +166,35 @@ def main():
         # 2-conv full-fanout (embedding layer on).
         "full2": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
                       full_fanout=True),
+        # Full-fanout needs a LOWER lr than the sampled regime: its
+        # low-variance gradients at the reference-default 5.65e-3 drive
+        # item embeddings toward collapse (mean pairwise cos 0.92 vs
+        # 0.70 at 1.4e-3 on the small world; recall at 50k drops to
+        # random) — the hinge's degenerate minimum.  1.4e-3 is also the
+        # round-4 HP search's lr mode.
+        "deep3_full_lr14": dict(agg="mean_nn", lr=1.4e-3, pool=2560,
+                                embedding_layer=False, full_fanout=True),
+        "deep3_full_lr5": dict(agg="mean_nn", lr=5e-4, pool=2560,
+                               embedding_layer=False, full_fanout=True),
+        "full2_lr14": dict(agg="mean_nn", lr=1.4e-3, pool=2560,
+                           full_fanout=True),
+        # The reference's ACTUAL defaults (main.py:510 default_parameters,
+        # mapped to the dir()-sorted dims): mean_nn/sum, dropout .5,
+        # NORM TRUE (per-layer L2 row-norm — the anti-collapse mechanism
+        # the earlier full-fanout runs were missing), embedding_layer
+        # False (3 conv hops), lr .00565, delta .266, 2500 negatives,
+        # full-neighbor sampler.
+        "ref_default": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                            embedding_layer=False, full_fanout=True,
+                            norm=True, dropout=0.5),
+        # norm-only ablation (no dropout): isolates the L2 row-norm's
+        # effect on the collapse at full fanout.
+        "deep3_full_norm": dict(agg="mean_nn", lr=1.4e-3, pool=2560,
+                                embedding_layer=False, full_fanout=True,
+                                norm=True),
+        "deep3_full_norm_lr56": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                                     embedding_layer=False,
+                                     full_fanout=True, norm=True),
     }
     train_etypes = tuple(data.train_pairs.keys())
     train_eids = {et: np.arange(g.num_edges(et)) for et in train_etypes}
@@ -178,7 +209,8 @@ def main():
         c = CONFIGS[name]
         model = build_model(c["agg"], c.get("n_layers", 3),
                             c.get("pred", "cos"), c.get("hetero", "sum"),
-                            c.get("embedding_layer", True))
+                            c.get("embedding_layer", True),
+                            c.get("norm", False), c.get("dropout", 0.0))
         n_conv = model.num_conv_layers
         if c.get("full_fanout"):
             fanouts = (-1,) * n_conv

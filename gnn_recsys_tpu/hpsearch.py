@@ -100,15 +100,64 @@ class SearchState:
 
 
 def _checkpoint_name() -> str:
-    return "checkpoint" + datetime.datetime.now().strftime("%Y%m%d_%H%M%S") + ".pkl"
+    # JSON, not pickle: a checkpoint is data a resumed run load-executes,
+    # and unpickling is arbitrary code execution if the file was ever
+    # touched by an untrusted party (e.g. a PR editing a committed
+    # artifact).  The trial list is plain dataclasses — JSON round-trips
+    # it losslessly and the GP is rebuilt from the trials on resume.
+    return ("checkpoint"
+            + datetime.datetime.now().strftime("%Y%m%d_%H%M%S") + ".json")
 
 
 def latest_checkpoint(logdir: str = ".") -> Optional[str]:
     files = sorted(
-        f for f in os.listdir(logdir) if f.startswith("checkpoint")
-        and f.endswith(".pkl")
+        (f for f in os.listdir(logdir) if f.startswith("checkpoint")
+         and (f.endswith(".json") or f.endswith(".pkl"))),
+        key=lambda f: os.path.splitext(f)[0],
     )
     return os.path.join(logdir, files[-1]) if files else None
+
+
+def load_checkpoint(path: str) -> SearchState:
+    """Load a search checkpoint.
+
+    ``.json`` (current format) reconstructs the state from plain data.
+    Legacy ``.pkl`` checkpoints unpickle — pickle can execute arbitrary
+    code, so ONLY load .pkl files produced by your own local runs (they
+    are kept readable for resuming pre-round-5 searches).
+    """
+    if path.endswith(".json"):
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return SearchState(
+            trials=[
+                Trial(hyper=HyperParams(**t["hyper"]),
+                      objective=float(t["objective"]))
+                for t in d["trials"]
+            ],
+            seed=int(d.get("seed", 46)),
+        )
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def save_checkpoint(state: SearchState, path: str) -> None:
+    import json
+
+    with open(path, "w") as f:
+        json.dump(
+            {
+                "seed": state.seed,
+                "trials": [
+                    {"hyper": dataclasses.asdict(t.hyper),
+                     "objective": t.objective}
+                    for t in state.trials
+                ],
+            },
+            f,
+        )
 
 
 def run_search(
@@ -136,8 +185,7 @@ def run_search(
     if not from_beginning:
         ck = latest_checkpoint(logdir)
         if ck:
-            with open(ck, "rb") as f:
-                state = pickle.load(f)
+            state = load_checkpoint(ck)
 
     rng = np.random.default_rng(seed + len(state.trials))
     gp = None
@@ -165,8 +213,7 @@ def run_search(
         if gp is not None:
             gp.tell(dataclasses.asdict(hyper), -float(recall))
         state.trials.append(Trial(hyper=hyper, objective=-float(recall)))
-        with open(os.path.join(logdir, _checkpoint_name()), "wb") as f:
-            pickle.dump(state, f)
+        save_checkpoint(state, os.path.join(logdir, _checkpoint_name()))
         if verbose:
             best = state.best
             _logger().info(

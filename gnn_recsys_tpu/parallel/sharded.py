@@ -512,6 +512,167 @@ def row_sharded_lookup_a2a(
     return out
 
 
+def pad_adjacency_tables(rel, m: int):
+    """Pad a Relation's per-destination row tables to a multiple of ``m``
+    so they can be row-sharded over a ``model`` axis.
+
+    Padding rows keep the Relation invariants: ``nbr=-1`` (the sampler
+    derives degree from the -1 padding), ``mask=False``, ``deg=0``.
+    Returns ``(nbr, nbr_eid, nbr_mask, deg, n_rows)`` host-shaped arrays
+    ready for ``P(axis)`` placement.
+    """
+    n = int(rel.nbr.shape[0])
+    pad = (-n) % m
+    nbr = jnp.pad(rel.nbr, ((0, pad), (0, 0)), constant_values=-1)
+    eid = jnp.pad(rel.nbr_eid, ((0, pad), (0, 0)))
+    mask = jnp.pad(rel.nbr_mask, ((0, pad), (0, 0)))
+    deg = jnp.pad(rel.deg, (0, pad))
+    return nbr, eid, mask, deg, n
+
+
+def exclusion_table_sharded(
+    nbr_shard: jax.Array,
+    eid_pos: jax.Array,
+    eids: jax.Array,
+    axis: str = "model",
+) -> jax.Array:
+    """Shard-local sign-marked exclusion table (``ops.sampling.
+    exclusion_table`` semantics) for ROW-SHARDED adjacency.
+
+    Each shard owns rows ``[my*per, (my+1)*per)`` of the padded table;
+    the batch's excluded edges scatter their sign-mark only into the
+    rows this shard owns (``eid_pos`` gives each edge's flat position in
+    the GLOBAL padded table).  Concatenating the shards reproduces the
+    replicated exclusion table exactly.
+    """
+    my = jax.lax.axis_index(axis)
+    per, k = nbr_shard.shape
+    base = my * per * k
+    pos = jnp.take(eid_pos, eids.reshape(-1).astype(jnp.int32), axis=0)
+    local = pos - base
+    in_shard = (local >= 0) & (local < per * k)
+    flat = nbr_shard.reshape(-1)
+    vals = jnp.take(flat, jnp.where(in_shard, local, 0), axis=0)
+    # Same sign-mark as ops.sampling.exclusion_table; edges owned by
+    # other shards scatter out of bounds (dropped), so they can never
+    # clobber a mark this shard wrote.
+    marked = flat.at[jnp.where(in_shard, local, per * k)].set(
+        vals | jnp.int32(-(2**31)), mode="drop"
+    )
+    return marked.reshape(per, k)
+
+
+def sharded_neighbor_rows(
+    nbr_shard: jax.Array,
+    eid_shard: jax.Array,
+    mask_shard: jax.Array,
+    deg_shard: jax.Array,
+    ids: jax.Array,
+    axis: str = "model",
+    capacity: Optional[int] = None,
+    nbr_table_shard: Optional[jax.Array] = None,
+):
+    """Fetch a frontier's adjacency rows from ROW-SHARDED CSC tables.
+
+    The first piece of the sharded-CSR sampling path (SURVEY §2.3
+    "sharded CSR"): each device owns a contiguous row range of the
+    per-destination tables (``[N/m, K]`` nbr / nbr_eid / nbr_mask +
+    ``[N/m]`` deg) — the replicated-adjacency HBM term that binds at
+    north-star node counts (see docs/results/hbm_budget_r5.md) — and a
+    frontier's rows are resolved with the SAME bucketed ``all_to_all``
+    machinery as feature rows.  All four tables ride ONE exchange (packed
+    into a single int32 row of width 3K+1), not four.
+
+    ids: [F] int32 destination ids, replicated across ``axis``.
+    nbr_table_shard: optional per-step SIGN-MARKED table shard
+        (:func:`exclusion_table_sharded`) — fetched in place of the plain
+        ``nbr`` rows, so batch-edge exclusion rides the same exchange.
+    Returns ``(nbr [F, K], eid [F, K], mask [F, K] bool, deg [F])``
+    replicated across ``axis`` — the exact rows a replicated
+    ``Relation`` would gather.
+    """
+    m = jax.lax.axis_size(axis)
+    k = nbr_shard.shape[1]
+    table = nbr_shard if nbr_table_shard is None else nbr_table_shard
+    packed = jnp.concatenate(
+        [
+            table.astype(jnp.int32),
+            eid_shard.astype(jnp.int32),
+            mask_shard.astype(jnp.int32),
+            deg_shard.astype(jnp.int32)[:, None],
+        ],
+        axis=1,
+    )  # [N/m, 3K+1]
+    f = ids.shape[0]
+    pad = (-f) % m
+    ids_p = jnp.concatenate([ids, jnp.zeros((pad,), ids.dtype)])
+    chunk = ids_p.shape[0] // m
+    my = jax.lax.axis_index(axis)
+    mine = jax.lax.dynamic_slice_in_dim(ids_p, my * chunk, chunk)
+    rows = row_sharded_lookup_a2a(packed, mine, axis=axis,
+                                  capacity=capacity)
+    full = jax.lax.all_gather(rows, axis, axis=0, tiled=True)[:f]
+    nbr = full[:, :k]
+    eid = full[:, k:2 * k]
+    mask = full[:, 2 * k:3 * k].astype(bool)
+    deg = full[:, 3 * k]
+    if nbr_table_shard is None:
+        # Zero-filled (unowned/padding) rows must read as empty, not as
+        # "neighbor 0": restore the -1 padding invariant from the mask.
+        nbr = jnp.where(mask, nbr, -1)
+    else:
+        # Sign-marked tables carry the exclusion bit; only restore -1
+        # where the slot is invalid AND unmarked (zero-filled padding).
+        nbr = jnp.where(mask | (nbr < 0), nbr, -1)
+    return nbr, eid, mask, deg
+
+
+def sample_neighbors_sharded(
+    nbr_shard: jax.Array,
+    eid_shard: jax.Array,
+    mask_shard: jax.Array,
+    deg_shard: jax.Array,
+    ids: jax.Array,
+    fanout: int,
+    rng: Optional[jax.Array] = None,
+    mode: str = "uniform",
+    axis: str = "model",
+    capacity: Optional[int] = None,
+    with_eids: bool = True,
+    nbr_table_shard: Optional[jax.Array] = None,
+):
+    """``ops.sampling.sample_neighbors`` against ROW-SHARDED adjacency.
+
+    Fetches the frontier's rows once via :func:`sharded_neighbor_rows`,
+    then runs the UNCHANGED slot-select logic on the fetched view — so
+    the sampled tree is bit-identical to the replicated-adjacency
+    sampler under the same rng (test-gated), and every optimization of
+    the local sampler (one-hot slot select, -1 degree derivation)
+    carries over.  ``nbr_table_shard`` (a shard of
+    :func:`exclusion_table_sharded`'s output) adds batch-edge exclusion
+    with the same zero-marginal-cost semantics as the replicated
+    ``exclusion_table`` path.
+    """
+    from gnn_recsys_tpu.graph.hetero import Relation
+    from gnn_recsys_tpu.ops.sampling import sample_neighbors
+
+    flat = ids.reshape(-1)
+    nbr, eid, mask, deg = sharded_neighbor_rows(
+        nbr_shard, eid_shard, mask_shard, deg_shard, flat,
+        axis=axis, capacity=capacity, nbr_table_shard=nbr_table_shard,
+    )
+    view = Relation(
+        src=jnp.zeros((1,), jnp.int32),
+        dst=jnp.zeros((1,), jnp.int32),
+        nbr=nbr, nbr_eid=eid, nbr_mask=mask, deg=deg, edata={},
+    )
+    pos = jnp.arange(flat.shape[0], dtype=jnp.int32).reshape(ids.shape)
+    return sample_neighbors(
+        view, pos, fanout, rng=rng, mode=mode, with_eids=with_eids,
+        nbr_table=nbr if nbr_table_shard is not None else None,
+    )
+
+
 def row_sharded_lookup(table_shard: jax.Array, ids: jax.Array,
                        axis: str = "model") -> jax.Array:
     """Gather rows of a row-sharded table inside ``shard_map``.

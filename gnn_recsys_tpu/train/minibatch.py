@@ -526,6 +526,7 @@ def infer_embeddings(
     mode: str = "full_graph",
     node_batch_size: int = 128,
     ntypes: Optional[Tuple[str, ...]] = None,
+    mesh=None,
 ) -> Dict[str, jax.Array]:
     """Embedding inference dispatcher shared by eval/serving call sites.
 
@@ -534,7 +535,21 @@ def infer_embeddings(
     (equivalence is test-gated) at O(L*E) total cost; ``'node_batches'``
     keeps the reference node-loader shape (src/train/run.py:311-349) for
     graphs whose layer-wise activations exceed HBM.
+
+    ``mesh`` distributes the pass data-parallel over every device of the
+    mesh (row-equal output; see
+    :func:`gnn_recsys_tpu.retrieval.sharded.infer_embeddings_sharded`).
     """
+    if mesh is not None:
+        from gnn_recsys_tpu.retrieval.sharded import (
+            infer_embeddings_sharded,
+        )
+
+        return infer_embeddings_sharded(
+            model, params, graph, features, mesh,
+            axis=tuple(a for a in ("data", "model") if a in mesh.shape),
+            node_chunk=node_batch_size, ntypes=ntypes,
+        )
     if mode == "full_graph":
         from gnn_recsys_tpu.train.full_batch import compute_embeddings
 

@@ -42,3 +42,39 @@ def test_hp_hard_micro_world(tmp_path):
     assert res.returncode == 0, res.stdout[-2000:] + res.stderr[-2000:]
     report = json.load(open(os.path.join(logdir, "report_gp.json")))
     assert report["n_trials"] == 3
+
+
+def test_checkpoint_json_roundtrip_and_legacy_pkl(tmp_path):
+    """Checkpoints are JSON (non-executable) since round 5; legacy .pkl
+    checkpoints from earlier rounds remain loadable (trusted local runs
+    only — see load_checkpoint docstring)."""
+    import os
+
+    from gnn_recsys_tpu.config import HyperParams
+    from gnn_recsys_tpu.hpsearch import (
+        SearchState,
+        Trial,
+        latest_checkpoint,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    state = SearchState(
+        trials=[Trial(hyper=HyperParams(lr=3e-3), objective=-0.021)],
+        seed=46,
+    )
+    p = str(tmp_path / "checkpoint20260821_000000.json")
+    save_checkpoint(state, p)
+    got = load_checkpoint(p)
+    assert got.trials[0].hyper == state.trials[0].hyper
+    assert got.trials[0].objective == state.trials[0].objective
+    assert latest_checkpoint(str(tmp_path)) == p
+
+    legacy = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "results", "hp_search_r4_gp_checkpoint.pkl",
+    )
+    if os.path.exists(legacy):
+        old = load_checkpoint(legacy)
+        assert len(old.trials) >= 54
+        assert old.best is not None and -old.best.objective > 0.02

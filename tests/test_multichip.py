@@ -574,3 +574,97 @@ def test_tp_dp_step_hash_sharded_tables(world):
                     jax.tree.leaves(st_h.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_adjacency_sampling_equals_replicated(world):
+    """First sharded-CSR piece (SURVEY §2.3): adjacency rows sharded over
+    'model', frontier expansions through the a2a machinery — the sampled
+    neighbors/eids/masks must be BIT-IDENTICAL to the replicated-relation
+    sampler under the same rng, in both uniform and full modes."""
+    from gnn_recsys_tpu.ops.sampling import sample_neighbors
+    from gnn_recsys_tpu.parallel.sharded import (
+        pad_adjacency_tables,
+        sample_neighbors_sharded,
+    )
+
+    data, g, _, _, _, _, _, _, _ = world
+    rel = g.rels[ET]
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("model",))
+    nbr, eid, mask, deg, n = pad_adjacency_tables(rel, 8)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, n, 24).astype(np.int32)
+    )
+    rng = jax.random.PRNGKey(4)
+
+    for mode in ("uniform", "full"):
+        fanout = 3 if mode == "uniform" else rel.max_fanout
+        ref = sample_neighbors(rel, ids, fanout, rng=rng, mode=mode)
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P("model"), P("model"), P("model"), P("model"),
+                      P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        def run(nbr_s, eid_s, mask_s, deg_s, ids, rng):
+            return sample_neighbors_sharded(
+                nbr_s, eid_s, mask_s, deg_s, ids, fanout, rng=rng,
+                mode=mode,
+            )
+
+        got = run(nbr, eid, mask, deg, ids, rng)
+        for a, b, name in zip(got, ref, ("nbr", "eid", "mask")):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{mode}/{name}"
+            )
+
+
+def test_sharded_adjacency_sampling_with_exclusion(world):
+    """Batch-edge exclusion on the sharded-adjacency path: the shard-local
+    sign-marked table (exclusion_table_sharded) + the fetched view must
+    reproduce the replicated exclusion_table sampler bit-for-bit."""
+    from gnn_recsys_tpu.ops.sampling import exclusion_table, sample_neighbors
+    from gnn_recsys_tpu.parallel.sharded import (
+        exclusion_table_sharded,
+        pad_adjacency_tables,
+        sample_neighbors_sharded,
+    )
+
+    data, g, _, _, _, _, _, _, _ = world
+    rel = g.rels[ET]
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(8), ("model",))
+    nbr, eid, mask, deg, n = pad_adjacency_tables(rel, 8)
+    rng_np = np.random.default_rng(1)
+    ids = jnp.asarray(rng_np.integers(0, n, 24).astype(np.int32))
+    excl_eids = jnp.asarray(
+        rng_np.permutation(int(rel.src.shape[0]))[:40].astype(np.int32)
+    )
+    rng = jax.random.PRNGKey(9)
+    fanout = 3
+
+    marked_ref = exclusion_table(rel, excl_eids)
+    ref = sample_neighbors(rel, ids, fanout, rng=rng, mode="uniform",
+                           nbr_table=marked_ref)
+
+    @jax.jit
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("model"), P("model"), P("model"), P("model"),
+                  P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def run(nbr_s, eid_s, mask_s, deg_s, eid_pos, excl, ids, rng):
+        table_s = exclusion_table_sharded(nbr_s, eid_pos, excl)
+        return sample_neighbors_sharded(
+            nbr_s, eid_s, mask_s, deg_s, ids, fanout, rng=rng,
+            mode="uniform", nbr_table_shard=table_s,
+        )
+
+    got = run(nbr, eid, mask, deg, rel.eid_pos, excl_eids, ids, rng)
+    for a, b, name in zip(got, ref, ("nbr", "eid", "mask")):
+        np.testing.assert_array_equal(
+            np.asarray(a), np.asarray(b), err_msg=name
+        )
