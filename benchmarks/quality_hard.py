@@ -119,7 +119,10 @@ def main():
 
     # ---------------- configs ------------------------------------------
     def build_model(agg, n_layers=3, pred="cos", hetero="sum",
-                    embedding_layer=True, norm=False, dropout=0.0):
+                    embedding_layer=True, norm=True, dropout=0.0):
+        # norm default True == ConvModel's default == every historical
+        # quality run in docs/results (the reference default is also
+        # norm=True, main.py:510).
         return ConvModel(
             canonical_etypes=g.canonical_etypes,
             dims=(("user", fdim), ("item", fdim),
@@ -179,22 +182,31 @@ def main():
         "full2_lr14": dict(agg="mean_nn", lr=1.4e-3, pool=2560,
                            full_fanout=True),
         # The reference's ACTUAL defaults (main.py:510 default_parameters,
-        # mapped to the dir()-sorted dims): mean_nn/sum, dropout .5,
-        # NORM TRUE (per-layer L2 row-norm — the anti-collapse mechanism
-        # the earlier full-fanout runs were missing), embedding_layer
-        # False (3 conv hops), lr .00565, delta .266, 2500 negatives,
-        # full-neighbor sampler.
+        # mapped to the dir()-sorted dims): mean_nn/sum, DROPOUT .5 (the
+        # knob every earlier quality run left at 0), norm True,
+        # embedding_layer False (3 conv hops), lr .00565, delta .266,
+        # 2500 negatives, full-neighbor sampler.  (norm=True was already
+        # the ConvModel default in every historical run — the
+        # full-fanout collapse at lr 5.65e-3 is DIRECTIONAL and the L2
+        # row-norm does not prevent it; dropout might.)
         "ref_default": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
                             embedding_layer=False, full_fanout=True,
-                            norm=True, dropout=0.5),
-        # norm-only ablation (no dropout): isolates the L2 row-norm's
-        # effect on the collapse at full fanout.
-        "deep3_full_norm": dict(agg="mean_nn", lr=1.4e-3, pool=2560,
-                                embedding_layer=False, full_fanout=True,
-                                norm=True),
-        "deep3_full_norm_lr56": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                            dropout=0.5),
+        # ref-default depth/sampler with the collapse-safe lr and
+        # moderate dropout.
+        "deep3_full_lr14_drop": dict(agg="mean_nn", lr=1.4e-3, pool=2560,
                                      embedding_layer=False,
-                                     full_fanout=True, norm=True),
+                                     full_fanout=True, dropout=0.3),
+        # EXTENSION objective (not in the reference): sampled-softmax
+        # over the dense pool (models/loss.py:sampled_softmax_loss) —
+        # the known stronger implicit-feedback objective; everything
+        # else identical to 'default'.
+        "softmax": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                        loss="sampled_softmax", tau=0.1),
+        "softmax_tau05": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                              loss="sampled_softmax", tau=0.05),
+        "softmax_tau2": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                             loss="sampled_softmax", tau=0.2),
     }
     train_etypes = tuple(data.train_pairs.keys())
     train_eids = {et: np.arange(g.num_edges(et)) for et in train_etypes}
@@ -231,6 +243,8 @@ def main():
             neg_pool_size=c["pool"],
             dedup=n_conv >= 3,  # bound deep/full trees by unique nodes
             delta=c.get("delta", 0.266),
+            loss=c.get("loss", "max_margin"),
+            softmax_tau=c.get("tau", 0.1),
             lr=c["lr"],
             lr_schedule=args.lr_schedule,
             num_epochs=args.epochs,

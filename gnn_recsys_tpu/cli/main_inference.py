@@ -24,11 +24,20 @@ from gnn_recsys_tpu.inference import inference_ondemand
 @click.option("--keep-already-bought", is_flag=True, default=False)
 @click.option("--use-popularity", is_flag=True, default=False)
 @click.option("--weight-popularity", default=1.0)
+@click.option("--mesh", "mesh_devices", default=0,
+              help="Distribute serving over N devices (embedding "
+                   "inference data-parallel + catalog-sharded retrieval; "
+                   "0 = single device). Results are identical.")
 def main(run_dir, user_ids, all_users, k, keep_already_bought,
-         use_popularity, weight_popularity):
+         use_popularity, weight_popularity, mesh_devices):
     ids = "all" if all_users else list(user_ids)
     if not ids:
         raise click.UsageError("pass --user-ids ... or --all")
+    mesh = None
+    if mesh_devices:
+        from gnn_recsys_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(mesh_devices)
     recs = inference_ondemand(
         run_dir,
         ids,
@@ -36,6 +45,7 @@ def main(run_dir, user_ids, all_users, k, keep_already_bought,
         remove_already_bought=not keep_already_bought,
         use_popularity=use_popularity,
         weight_popularity=weight_popularity,
+        mesh=mesh,
     )
     for uid, items in recs.items():
         click.echo(f"{uid}: {items}")

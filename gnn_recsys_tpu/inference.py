@@ -70,6 +70,7 @@ def inference_ondemand(
     use_popularity: bool = False,
     weight_popularity: float = 1.0,
     rebuild_dataframes: Optional[Dict] = None,
+    mesh=None,
 ) -> Dict:
     """Recommendations for external user ids from a saved run directory.
 
@@ -78,6 +79,11 @@ def inference_ondemand(
     ``user_ids='all'`` recommends for every known user.  When the run has no
     saved graph, ``rebuild_dataframes`` rebuilds it from raw data with the
     saved fixed params (reference main_inference.py:69-87 rebuild path).
+
+    ``mesh``: a ``jax.sharding.Mesh`` distributes serving — embedding
+    inference data-parallel over every device, retrieval with the item
+    catalog row-sharded (retrieval/sharded.py; results equal the
+    single-device path exactly).
     """
     run = load_run(run_dir)
     graph = run["graph"]
@@ -113,6 +119,7 @@ def inference_ondemand(
     h = infer_embeddings(
         model, params, graph, features, mode=inference_mode,
         node_batch_size=node_batch_size, ntypes=("user", "item"),
+        mesh=mesh,
     )
 
     already: Optional[PaddedPairSet] = None
@@ -127,19 +134,39 @@ def inference_ondemand(
 
     from gnn_recsys_tpu.retrieval.recs import model_score_fn
 
-    recs = np.asarray(
-        get_recs(
-            h["user"],
-            h["item"],
-            jnp.asarray(user_node_ids),
-            k,
-            already_bought=already,
-            remove_already_bought=remove_already_bought,
-            score_fn=model_score_fn(model.pred, params),
-            popularity=popularity,
-            weight_popularity=weight_popularity,
+    if mesh is not None:
+        from gnn_recsys_tpu.retrieval.sharded import get_recs_sharded
+
+        axis = "model" if mesh.shape.get("model", 1) > 1 else "data"
+        recs = np.asarray(
+            get_recs_sharded(
+                mesh,
+                h["user"],
+                h["item"],
+                jnp.asarray(user_node_ids),
+                k,
+                already_bought=already,
+                remove_already_bought=remove_already_bought,
+                score_fn=model_score_fn(model.pred, params),
+                popularity=popularity,
+                weight_popularity=weight_popularity,
+                axis=axis,
+            )
         )
-    )
+    else:
+        recs = np.asarray(
+            get_recs(
+                h["user"],
+                h["item"],
+                jnp.asarray(user_node_ids),
+                k,
+                already_bought=already,
+                remove_already_bought=remove_already_bought,
+                score_fn=model_score_fn(model.pred, params),
+                popularity=popularity,
+                weight_popularity=weight_popularity,
+            )
+        )
     if pdt_id_df is not None and ctm_id_df is not None:
         return postprocess_recs(recs, user_node_ids, pdt_id_df, ctm_id_df)
     return {int(u): row.tolist() for u, row in zip(user_node_ids, recs)}

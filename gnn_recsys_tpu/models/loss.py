@@ -59,3 +59,50 @@ def max_margin_loss(
             count = count + float(b * s)
         total = total + jnp.sum(scores)
     return total / jnp.maximum(count, 1.0)
+
+
+def sampled_softmax_loss(
+    pos_score: Dict[CanonicalEtype, jax.Array],
+    neg_score: Dict[CanonicalEtype, jax.Array],
+    tau: float = 0.1,
+    negative_mask: Optional[Dict[CanonicalEtype, jax.Array]] = None,
+    recency_scores: Optional[Dict[CanonicalEtype, jax.Array]] = None,
+    pair_mask: Optional[Dict[CanonicalEtype, jax.Array]] = None,
+) -> jax.Array:
+    """Sampled-softmax (InfoNCE) ranking loss — an EXTENSION, not in the
+    reference (its only objective is the max-margin hinge,
+    ``src/model.py:473-533``; ``MinibatchConfig.loss`` defaults to that).
+
+    Per positive edge: ``-log softmax([pos, neg_1..neg_S] / tau)[0]``.
+    Against the hinge it is popularity-aware (every negative contributes
+    gradient weighted by its softmax share, not just margin violators) —
+    the known stronger objective for implicit-feedback retrieval; on the
+    hard synthetic it roughly doubles latent recovery at equal epochs
+    (docs/results/quality_softmax_r5.json).
+
+    tau: temperature; cosine scores live in [-1, 1], so ~0.1 gives the
+        logits a useful dynamic range.
+    negative_mask[etype]: [B, S] 1.0 marks FALSE negatives — they are
+        removed from the partition function entirely (-inf logit), the
+        hard form of the reference's soft hinge cancellation.
+    recency_scores / pair_mask: per-positive weight (1/recency, matching
+        the hinge's recency division) and padded-row exclusion.
+    """
+    total = jnp.asarray(0.0, dtype=jnp.float32)
+    wsum = jnp.asarray(0.0, dtype=jnp.float32)
+    for etype, neg in neg_score.items():
+        pos = pos_score[etype]
+        neg = neg.astype(jnp.float32)
+        pos = pos.astype(jnp.float32)
+        if negative_mask is not None and etype in negative_mask:
+            neg = jnp.where(negative_mask[etype] > 0, -jnp.inf, neg)
+        logits = jnp.concatenate([pos[:, None], neg], axis=1) / tau
+        nll = -jax.nn.log_softmax(logits, axis=1)[:, 0]  # [B]
+        w = jnp.ones_like(nll)
+        if recency_scores is not None and etype in recency_scores:
+            w = w / recency_scores[etype]
+        if pair_mask is not None and etype in pair_mask:
+            w = w * pair_mask[etype].astype(w.dtype)
+        total = total + jnp.sum(nll * w)
+        wsum = wsum + jnp.sum(w)
+    return total / jnp.maximum(wsum, 1e-9)

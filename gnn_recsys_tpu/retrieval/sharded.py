@@ -132,6 +132,15 @@ def get_recs_sharded(
         if popularity is not None:
             popularity = jnp.pad(popularity, (0, pad))
     per = item_emb.shape[0] // m
+    # Committed single-device inputs (e.g. serving from a loaded run)
+    # must be re-placed on the mesh explicitly.
+    axes_t = (axis,) if isinstance(axis, str) else tuple(axis)
+    cat_sh = NamedSharding(mesh, P(axes_t))
+    repl_sh = NamedSharding(mesh, P())
+    item_emb = jax.device_put(item_emb, cat_sh)
+    if popularity is not None:
+        popularity = jax.device_put(popularity, cat_sh)
+    user_emb = jax.device_put(user_emb, repl_sh)
 
     mask_rows = (
         already_bought is not None
@@ -282,9 +291,10 @@ def get_recs_sharded(
         popularity if use_pop
         else jnp.zeros((item_emb.shape[0],), jnp.float32)
     )
-    bought_arg = (
+    bought_arg = jax.device_put(
         bought_rows if bought_rows is not None
-        else jnp.zeros((1, 1), jnp.int32)
+        else jnp.zeros((1, 1), jnp.int32),
+        repl_sh,
     )
     idx, vals = _sharded(user_emb, item_emb, ids_chunks, pop_arg, bought_arg)
     idx = idx[:u]
@@ -325,6 +335,13 @@ def infer_embeddings_sharded(
     axes = (axis,) if isinstance(axis, str) else tuple(axis)
     m = _axes_size(mesh, axes)
     spec = P(tuple(axes))
+    # Inputs may be committed to one device (e.g. params loaded from a
+    # run dir); replicate them on the mesh explicitly — jit refuses to
+    # reshard committed arrays across device sets.
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    graph = jax.tree.map(lambda x: jax.device_put(x, repl), graph)
+    features = {nt: jax.device_put(x, repl) for nt, x in features.items()}
 
     @functools.partial(jax.jit, static_argnames=("ntype", "n", "chunk"))
     def run_ntype(params, rng, ntype: str, n: int, chunk: int):

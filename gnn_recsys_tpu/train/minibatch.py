@@ -97,6 +97,11 @@ class MinibatchConfig:
     # and are supported (equality test-gated on the virtual mesh).
     pool_mask_kernel: bool = False
     delta: float = 0.266
+    # Training objective: 'max_margin' (the reference's hinge,
+    # src/model.py:473-533 — the default) or 'sampled_softmax' (InfoNCE
+    # over the negative pool — an extension; see models/loss.py).
+    loss: str = "max_margin"
+    softmax_tau: float = 0.1
     lr: float = 1e-3
     # 'const' (reference: fixed Adam lr, src/train/run.py) or 'cosine'
     # (decay to ~0 over the scheduled run — the standard long-run
@@ -208,6 +213,9 @@ def make_minibatch_step(
     where batch maps etype -> dict with 'u' [B], 'i' [B], 'recency' [B] and
     (when with_exclusion) 'eids' [B] edge ids into the sampling graph.
     """
+    if cfg.loss not in ("max_margin", "sampled_softmax"):
+        raise KeyError(f"unknown loss {cfg.loss!r} "
+                       "(expected 'max_margin' or 'sampled_softmax')")
 
     def step(state, graph, features, batch, edge_tables, rng):
         num_items = graph.num_nodes("item")
@@ -300,6 +308,16 @@ def make_minibatch_step(
                         neg_mask[et] = pair_set_contains(
                             edge_tables[et], pairs[et][0], neg_dst[et]
                         ).astype(jnp.float32)
+            if cfg.loss == "sampled_softmax":
+                from gnn_recsys_tpu.models.loss import sampled_softmax_loss
+
+                return sampled_softmax_loss(
+                    pos_s,
+                    neg_s,
+                    tau=cfg.softmax_tau,
+                    negative_mask=neg_mask,
+                    recency_scores=recency if cfg.use_recency else None,
+                )
             return max_margin_loss(
                 pos_s,
                 neg_s,

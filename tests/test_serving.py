@@ -137,6 +137,20 @@ def test_full_train_then_inference_cli(tmp_path):
     # each line lists 5 external item ids
     assert lines[0].count("it") == 5 or lines[0].count("'") >= 5
 
+    # --mesh N: distributed serving (embedding inference sharded over all
+    # devices + catalog-sharded retrieval) must return the SAME recs.
+    res_mesh = runner.invoke(
+        infer_cli,
+        ["--run-dir", out_dir, "--k", "5",
+         "--user-ids", known[0], "--user-ids", known[1], "--mesh", "8"],
+        catch_exceptions=False,
+    )
+    assert res_mesh.exit_code == 0, res_mesh.output
+    mesh_lines = [
+        l for l in res_mesh.output.strip().splitlines() if ":" in l
+    ]
+    assert mesh_lines == lines
+
 
 @pytest.mark.slow
 def test_run_trial_on_dataframes(tmp_path):
