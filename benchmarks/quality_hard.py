@@ -119,14 +119,15 @@ def main():
 
     # ---------------- configs ------------------------------------------
     def build_model(agg, n_layers=3, pred="cos", hetero="sum",
-                    embedding_layer=True, norm=True, dropout=0.0):
+                    embedding_layer=True, norm=True, dropout=0.0,
+                    hidden=256, out=128):
         # norm default True == ConvModel's default == every historical
         # quality run in docs/results (the reference default is also
         # norm=True, main.py:510).
         return ConvModel(
             canonical_etypes=g.canonical_etypes,
             dims=(("user", fdim), ("item", fdim),
-                  ("hidden", 256), ("out", 128)),
+                  ("hidden", hidden), ("out", out)),
             n_layers=n_layers,
             aggregator_type=agg,
             pred=pred,
@@ -207,6 +208,19 @@ def main():
                               loss="sampled_softmax", tau=0.05),
         "softmax_tau2": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
                              loss="sampled_softmax", tau=0.2),
+        # tau=0.2 rose monotonically to raw 0.0157 at 120 ep (hinge
+        # plateaus at 0.0140) — sweep upward and run longer.
+        "softmax_tau3": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                             loss="sampled_softmax", tau=0.3),
+        "softmax_tau5": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                             loss="sampled_softmax", tau=0.5),
+        "softmax_tau2_deep3": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                                   loss="sampled_softmax", tau=0.2,
+                                   embedding_layer=False),
+        # Capacity probe: reference 'Large' dims (hidden 512 / out 256,
+        # main.py:86-89).
+        "large_dims": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                           hidden=512, out=256),
     }
     train_etypes = tuple(data.train_pairs.keys())
     train_eids = {et: np.arange(g.num_edges(et)) for et in train_etypes}
@@ -222,7 +236,8 @@ def main():
         model = build_model(c["agg"], c.get("n_layers", 3),
                             c.get("pred", "cos"), c.get("hetero", "sum"),
                             c.get("embedding_layer", True),
-                            c.get("norm", False), c.get("dropout", 0.0))
+                            c.get("norm", True), c.get("dropout", 0.0),
+                            c.get("hidden", 256), c.get("out", 128))
         n_conv = model.num_conv_layers
         if c.get("full_fanout"):
             fanouts = (-1,) * n_conv

@@ -196,3 +196,16 @@ def test_infer_embeddings_sharded_equals_single(mesh):
         np.testing.assert_allclose(
             np.asarray(out[nt]), np.asarray(ref[nt]), rtol=2e-5, atol=2e-6
         )
+
+
+def test_sharded_recs_over_both_mesh_axes(embs, mesh):
+    """axis=('data','model'): the catalog shards over the PRODUCT of both
+    axes (8-way) — serving uses every chip of a 2-D training mesh."""
+    user_emb, item_emb, user_ids, bought, pop = embs
+    ref = get_recs(user_emb, item_emb, user_ids, K, already_bought=bought,
+                   popularity=pop, weight_popularity=0.1)
+    out = get_recs_sharded(
+        mesh, user_emb, item_emb, user_ids, K, already_bought=bought,
+        popularity=pop, weight_popularity=0.1, axis=("data", "model"),
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
