@@ -101,6 +101,7 @@ def get_metrics_at_k(
     weight_popularity: float = 1.0,
     backend: str = "auto",
     already_bought_cap: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[float, float, float]:
     """End-to-end metric computation (reference ``get_metrics_at_k``,
     src/metrics.py:110-134): recs for the unique ground-truth users, then
@@ -110,6 +111,10 @@ def get_metrics_at_k(
     kernel on real TPUs (~2x the XLA chunked matmul+top_k at catalog
     scale, exact-index tested) and falls back to 'xla' elsewhere or for
     custom ``score_fn``s (the MLP head).
+
+    mesh: distribute retrieval with the catalog axis sharded over the
+    mesh (retrieval/sharded.py) — same results, every chip scoring its
+    catalog shard.
 
     already_bought_cap: bound on the padded already-bought row width.
     Uncapped (None, default) filtering is EXACT for every user — hub rows
@@ -141,18 +146,31 @@ def get_metrics_at_k(
             already_bought[0], already_bought[1], num_src=n_src,
             cap=already_bought_cap,
         )
-    recs = get_recs(
-        user_emb,
-        item_emb,
-        user_ids,
-        k,
-        already_bought=already_table,
-        remove_already_bought=remove_already_bought,
-        score_fn=score_fn,
-        popularity=popularity,
-        weight_popularity=weight_popularity,
-        backend=backend,
-    )
+    if mesh is not None:
+        from gnn_recsys_tpu.retrieval.sharded import get_recs_sharded
+
+        axis = "model" if mesh.shape.get("model", 1) > 1 else "data"
+        recs = get_recs_sharded(
+            mesh, user_emb, item_emb, user_ids, k,
+            already_bought=already_table,
+            remove_already_bought=remove_already_bought,
+            score_fn=score_fn, popularity=popularity,
+            weight_popularity=weight_popularity,
+            backend="xla" if backend == "auto" else backend, axis=axis,
+        )
+    else:
+        recs = get_recs(
+            user_emb,
+            item_emb,
+            user_ids,
+            k,
+            already_bought=already_table,
+            remove_already_bought=remove_already_bought,
+            score_fn=score_fn,
+            popularity=popularity,
+            weight_popularity=weight_popularity,
+            backend=backend,
+        )
     return recs_to_metrics(recs, user_ids, gt_users, gt_items, num_items)
 
 

@@ -209,3 +209,21 @@ def test_sharded_recs_over_both_mesh_axes(embs, mesh):
         popularity=pop, weight_popularity=0.1, axis=("data", "model"),
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_get_metrics_at_k_mesh_equals_single(embs, mesh):
+    from gnn_recsys_tpu.retrieval.metrics import get_metrics_at_k
+
+    user_emb, item_emb, user_ids, bought, pop = embs
+    rng = np.random.default_rng(13)
+    gtu = rng.integers(0, 96, 50).astype(np.int32)
+    gti = rng.integers(0, 201, 50).astype(np.int32)
+    bu = rng.integers(0, 96, 200).astype(np.int32)
+    bi = rng.integers(0, 201, 200).astype(np.int32)
+    ref = get_metrics_at_k(user_emb, item_emb, (gtu, gti), (bu, bi), K,
+                           popularity=pop, weight_popularity=0.1,
+                           backend="xla")
+    got = get_metrics_at_k(user_emb, item_emb, (gtu, gti), (bu, bi), K,
+                           popularity=pop, weight_popularity=0.1,
+                           mesh=mesh)
+    assert ref == got
