@@ -212,6 +212,8 @@ def main():
         # plateaus at 0.0140) — sweep upward and run longer.
         "softmax_tau3": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
                              loss="sampled_softmax", tau=0.3),
+        "softmax_tau15": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
+                              loss="sampled_softmax", tau=0.15),
         "softmax_tau5": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
                              loss="sampled_softmax", tau=0.5),
         "softmax_tau2_deep3": dict(agg="mean_nn", lr=5.65e-3, pool=2560,
