@@ -78,7 +78,7 @@ def collective_bytes(hlo_text: str) -> dict:
 
 def measure(num_users=512, num_items=256, a2a_capacity_factor=None,
             verbose=True, feat_dim=8, hidden=64, out=32,
-            per_etype_batch=128, fanouts=(4, 4)):
+            per_etype_batch=128, fanouts=(4, 4), tp_transform=True):
     """Full-step collective bytes: GSPMD-inferred vs explicit a2a.
 
     The default toy shape is gradient-all-reduce dominated (params >>
@@ -148,6 +148,7 @@ def measure(num_users=512, num_items=256, a2a_capacity_factor=None,
     tp = make_shardmap_tp_dp_step(
         model, cfg, etypes, mesh, row_shard_ntypes=("item",),
         a2a_capacity_factor=a2a_capacity_factor,
+        tp_transform=tp_transform,
     )
     tp_comp = tp.lower(state, g, feats, batch, tables, rng).compile()
     tp_bytes = collective_bytes(tp_comp.as_text())
@@ -155,7 +156,8 @@ def measure(num_users=512, num_items=256, a2a_capacity_factor=None,
     if verbose:
         print(f"mesh: {dict(mesh.shape)}  batch/etype: {b}  "
               f"fanouts: {fanouts}  item table: {feats['item'].shape}  "
-              f"a2a_capacity_factor: {a2a_capacity_factor}")
+              f"a2a_capacity_factor: {a2a_capacity_factor}  "
+              f"tp_transform: {tp_transform}")
         for name, b in (("gspmd-inferred", gs_bytes),
                         ("explicit-a2a", tp_bytes)):
             tot = sum(b.values())
@@ -270,7 +272,16 @@ def main():
     # with frontier x feat_dim while the gradient term stays
     # params-sized.  Full-step totals at such a shape:
     print("\nfull-step (WIDE-TABLE regime: feat_dim 256, batch 1024/etype,"
-          " fanouts (8,4) — lookup bytes rival the gradient term):")
+          " fanouts (8,4) — lookup bytes rival the gradient term).")
+    print("tp_transform=False (r5 finding: feat-width reassembly "
+          "all_gather made explicit ~2.1x GSPMD):")
+    measure(
+        num_users=4096, num_items=2048, feat_dim=256, hidden=64, out=32,
+        per_etype_batch=1024, fanouts=(8, 4),
+        a2a_capacity_factor=args.capacity_factor, tp_transform=False,
+    )
+    print("\ntp_transform=True (tensor-parallel leaf: reassemble at "
+          "hidden width — the r5-identified lever, now the default):")
     measure(
         num_users=4096, num_items=2048, feat_dim=256, hidden=64, out=32,
         per_etype_batch=1024, fanouts=(8, 4),

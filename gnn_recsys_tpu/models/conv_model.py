@@ -20,6 +20,7 @@ embedding layer when present, so there are ``n_layers - 1`` conv layers when
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -47,6 +48,24 @@ PairDict = Dict[CanonicalEtype, Tuple[jax.Array, jax.Array]]
 
 def _etype_key(etype: CanonicalEtype) -> str:
     return "__".join(etype)
+
+
+def _lookup_accepts_transform(fn) -> bool:
+    """Whether a ``feature_lookup`` hook takes the optional third
+    ``row_transform`` argument (tensor-parallel transform push-down)."""
+    import inspect
+
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError):
+        return False
+    pos = 0
+    for p in sig.parameters.values():
+        if p.kind == p.VAR_POSITIONAL:
+            return True
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD):
+            pos += 1
+    return pos >= 3
 
 
 def _exclusion_kwargs(excl) -> Dict[str, jax.Array]:
@@ -335,7 +354,13 @@ class ConvModel(nn.Module):
             the hook that routes RAW feature reads through a distributed
             exchange (e.g. ``row_sharded_lookup_a2a`` over a sharded
             table inside ``shard_map``; see parallel/sharded.py).  Tree
-            path only (dedup=False) and bypasses remat_levels.
+            path only (dedup=False) and bypasses remat_levels.  A hook
+            accepting a THIRD positional arg ``row_transform`` receives
+            the per-row map (leaf embed / composed leaf transform) the
+            caller would otherwise apply to the reassembled rows, and may
+            apply it per shard-slice before reassembly (tensor-parallel
+            leaf: hidden-width exchange, sharded leaf FLOPs); when it
+            does, it must return ``row_transform(rows)``.
         Returns ntype -> [*seed_shape, out_dim].
         """
         n_layers = len(self.layers)
@@ -528,6 +553,17 @@ class ConvModel(nn.Module):
     ) -> jax.Array:
         from gnn_recsys_tpu.ops.sampling import sample_neighbors
 
+        # Tensor-parallel transform push-down: a 3-arg hook receives the
+        # PER-ROW transform that would otherwise run on the reassembled
+        # rows, so a distributed lookup can apply it on each shard's slice
+        # BEFORE reassembly — the all_gather then carries hidden width
+        # instead of raw feature width AND the leaf matmul FLOPs shard
+        # over the exchange axis (see parallel/sharded.py).  Per-row maps
+        # commute with gather/concat exactly, so values are unchanged.
+        lookup_tp = feature_lookup is not None and _lookup_accepts_transform(
+            feature_lookup
+        )
+
         def fetch_rows(nt, flat_ids):
             if feature_lookup is not None:
                 return feature_lookup(nt, flat_ids)
@@ -538,6 +574,12 @@ class ConvModel(nn.Module):
             return jnp.take(features[nt], flat_ids, axis=0, mode="clip")
 
         if level == 0:
+            if (lookup_tp and self.embedding_layer
+                    and ntype in self.embed):
+                x = feature_lookup(
+                    ntype, ids.reshape(-1), self.embed[ntype]
+                )
+                return x.reshape(*ids.shape, x.shape[-1])
             x = fetch_rows(ntype, ids.reshape(-1))
             x = x.reshape(*ids.shape, x.shape[-1])
             if self.embedding_layer and ntype in self.embed:
@@ -674,17 +716,36 @@ class ConvModel(nn.Module):
                     )
                     continue
             if self._can_fold_leaf(layer, etype[0], level, deterministic):
-                # Keep the N-D shape through the transform: feeding the
-                # FLAT [M, F] gather output into a 2-D matmul reads
-                # cleaner but measured 19.4 vs 7.3 ms/step at the bench
-                # config — XLA then materializes the [M, H] per-message
-                # activations and the backward's broadcast of dagg
-                # ([147456,256] broadcasts + relayout copies) instead of
-                # fusing both into the conv-style lowering.
-                raw = raw_packed if raw_packed is not None else fetch_rows(
-                    etype[0], nbr.reshape(-1)
-                ).reshape(*nbr.shape, -1)
-                h_nbr = self._leaf_transform_composed(layer, etype[0], raw)
+                if lookup_tp and raw_packed is None:
+                    # Push the composed leaf transform into the lookup:
+                    # each shard transforms its slice of the frontier
+                    # before reassembly (hidden-width exchange, sharded
+                    # leaf FLOPs).
+                    h_nbr = feature_lookup(
+                        etype[0],
+                        nbr.reshape(-1),
+                        functools.partial(
+                            self._leaf_transform_composed, layer, etype[0]
+                        ),
+                    ).reshape(*nbr.shape, -1)
+                else:
+                    # Keep the N-D shape through the transform: feeding
+                    # the FLAT [M, F] gather output into a 2-D matmul
+                    # reads cleaner but measured 19.4 vs 7.3 ms/step at
+                    # the bench config — XLA then materializes the [M, H]
+                    # per-message activations and the backward's
+                    # broadcast of dagg ([147456,256] broadcasts +
+                    # relayout copies) instead of fusing both into the
+                    # conv-style lowering.
+                    raw = (
+                        raw_packed if raw_packed is not None
+                        else fetch_rows(
+                            etype[0], nbr.reshape(-1)
+                        ).reshape(*nbr.shape, -1)
+                    )
+                    h_nbr = self._leaf_transform_composed(
+                        layer, etype[0], raw
+                    )
             elif raw_packed is not None:
                 # Packed leaf, generic aggregators: same chain as the
                 # level-0 dispatch (embed if configured) + transform_src,

@@ -201,6 +201,7 @@ def make_shardmap_tp_dp_step(
     has_reverse: Optional[Dict] = None,
     a2a_capacity_factor: Optional[float] = None,
     hash_mix_logs: Optional[Dict[str, int]] = None,
+    tp_transform: bool = True,
 ) -> Callable:
     """Explicit-collective 2-D step: data-parallel batches x row-sharded
     feature tables with ``all_to_all`` lookup exchange — the BASELINE
@@ -237,6 +238,16 @@ def make_shardmap_tp_dp_step(
     which keeps per-peer bucket loads Binomial under popularity-skewed
     frontiers — the production default when a capacity factor is set
     (contiguous-range sharding sends every hot-head id to one shard).
+
+    ``tp_transform`` (default on) is the TENSOR-PARALLEL leaf: when the
+    model hands the lookup a per-row transform (leaf embed / composed
+    embed+fc_preagg — see ``ConvModel.sampled_repr``), each model shard
+    applies it to ITS slice of the resolved frontier before the
+    reassembly ``all_gather`` — the exchange rides at hidden width
+    instead of raw feature width (the wide-table full-step bytes lever
+    identified in docs/results/comm_bytes_sweep_r5.txt) and the leaf
+    matmul FLOPs shard over the model axis.  Per-row maps commute with
+    reassembly, so the step is numerically identical either way.
     """
     if has_reverse is None:
         has_reverse = {et: True for et in train_etypes}
@@ -271,9 +282,12 @@ def make_shardmap_tp_dp_step(
                 # the per-lookup counts can flow out as grad aux.
                 drops = []
 
-                def feature_lookup(nt, flat_ids):
+                def feature_lookup(nt, flat_ids, row_transform=None):
                     if nt not in row_shard_ntypes:
-                        return jnp.take(features[nt], flat_ids, axis=0)
+                        rows = jnp.take(features[nt], flat_ids, axis=0)
+                        if row_transform is not None:
+                            rows = row_transform(rows)
+                        return rows
                     if hash_mix_logs and nt in hash_mix_logs:
                         flat_ids = hash_mix_ids(
                             flat_ids, hash_mix_logs[nt]
@@ -291,6 +305,16 @@ def make_shardmap_tp_dp_step(
                     mine = jax.lax.dynamic_slice_in_dim(
                         ids_p, my * chunk, chunk
                     )
+                    # Tensor-parallel leaf placement: with a statistical
+                    # capacity the transform runs AT THE OWNER inside the
+                    # exchange
+                    # (both the response a2a AND the reassembly
+                    # all_gather ride at hidden width; FLOP overhead
+                    # bounded by the capacity factor).  Without one the
+                    # owner buffer is worst-case [m, chunk] — m x the
+                    # rows — so transform the requester's chunk after the
+                    # exchange instead (reassembly still narrows).
+                    tp_here = row_transform is not None and tp_transform
                     if with_drops:
                         cap = statistical_a2a_capacity(
                             chunk, m, a2a_capacity_factor
@@ -298,16 +322,27 @@ def make_shardmap_tp_dp_step(
                         rows, d = row_sharded_lookup_a2a(
                             features[nt], mine, axis=model_axis,
                             capacity=cap, return_dropped=True,
+                            row_transform=(
+                                row_transform if tp_here else None
+                            ),
                         )
                         drops.append(d)
                     else:
                         rows = row_sharded_lookup_a2a(
                             features[nt], mine, axis=model_axis,
                         )
+                    if tp_here and not with_drops:
+                        # Requester-side transform of the [chunk, F]
+                        # slice: reassembly at hidden width — per-row
+                        # maps commute with the gather.
+                        rows = row_transform(rows)
                     full = jax.lax.all_gather(
                         rows, model_axis, axis=0, tiled=True
                     )
-                    return full[:b]
+                    full = full[:b]
+                    if row_transform is not None and not tp_transform:
+                        full = row_transform(full)
+                    return full
 
                 eval_step = make_minibatch_step(
                     model, cfg, tuple(train_etypes), with_update=False,
@@ -411,6 +446,7 @@ def row_sharded_lookup_a2a(
     capacity: Optional[int] = None,
     overflow_capacity: Optional[int] = None,
     return_dropped: bool = False,
+    row_transform: Optional[Callable] = None,
 ):
     """All-to-all embedding-row exchange for SHARDED queries x SHARDED table.
 
@@ -438,12 +474,23 @@ def row_sharded_lookup_a2a(
     loads track the id distribution; for popularity-skewed catalogs,
     permute ids (hash-shard) before sharding the table or size capacity
     for the skew.
+
+    ``row_transform`` applies a per-row map AT THE OWNER SHARD, before
+    the response ``all_to_all`` — the tensor-parallel leaf pushed one hop
+    further: when the transform narrows rows (raw feat_dim -> hidden),
+    the response leg rides at the narrow width.  Requested-but-dropped
+    ids then come back as 0 POST-transform rows (not ``transform(0)``) —
+    identical to the untransformed contract whenever ``dropped == 0``.
+    FLOP note: the owner transforms its full [m, c] request buffer
+    (including empty slots), i.e. ``m*c`` rows vs ``b`` at the
+    requester; with a statistical capacity ``c ~ factor*b/m`` that is a
+    bounded ``~factor`` x overhead — without one (worst-case ``c = b``)
+    it is ``m`` x, so pair the transform with a capacity.
     """
     m = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
     per_rows = table_shard.shape[0]
     b = ids_shard.shape[0]
-    d = table_shard.shape[1]
     c = b if capacity is None else min(int(capacity), b)
     oc = c if overflow_capacity is None else min(int(overflow_capacity), b)
 
@@ -471,7 +518,14 @@ def row_sharded_lookup_a2a(
     local = recv_ids - my * per_rows
     valid = (recv_ids >= 0) & (local >= 0) & (local < per_rows)
     rows = jnp.take(table_shard, jnp.clip(local, 0, per_rows - 1), axis=0)
-    rows = jnp.where(valid[..., None], rows, 0)  # [m, c, D]
+    if row_transform is not None:
+        # Owner-side transform: responses ride at the transform's output
+        # width.  Transform first, THEN zero invalid slots (the map need
+        # not send 0 to 0 — relu(bias) at empty slots would otherwise
+        # leak into the response).
+        rows = row_transform(rows.reshape(m * c, -1)).reshape(m, c, -1)
+    rows = jnp.where(valid[..., None], rows, 0)  # [m, c, D']
+    d = rows.shape[-1]
 
     # Route responses back and un-bucket.
     resp = jax.lax.all_to_all(rows, axis, 0, 0, tiled=False)  # [m, c, D]
@@ -492,7 +546,8 @@ def row_sharded_lookup_a2a(
             jnp.where(in_budget, rank, oc)
         ].set(jnp.where(in_budget, sorted_ids, 0), mode="drop")
         all_ovf = jax.lax.all_gather(buf, axis, axis=0, tiled=True)
-        ovf_rows = row_sharded_lookup(table_shard, all_ovf, axis)
+        ovf_rows = row_sharded_lookup(table_shard, all_ovf, axis,
+                                      row_transform=row_transform)
         mine = jax.lax.dynamic_slice_in_dim(ovf_rows, my * oc, oc)
         gathered_sorted = jnp.where(
             ovf[:, None],
@@ -506,7 +561,9 @@ def row_sharded_lookup_a2a(
             jnp.sum(ovf & (rank >= oc)).astype(jnp.int32), axis
         )
 
-    out = jnp.zeros((b, d), table_shard.dtype).at[order].set(gathered_sorted)
+    out = jnp.zeros((b, d), gathered_sorted.dtype).at[order].set(
+        gathered_sorted
+    )
     if return_dropped:
         return out, dropped
     return out
@@ -674,13 +731,17 @@ def sample_neighbors_sharded(
 
 
 def row_sharded_lookup(table_shard: jax.Array, ids: jax.Array,
-                       axis: str = "model") -> jax.Array:
+                       axis: str = "model",
+                       row_transform: Optional[Callable] = None
+                       ) -> jax.Array:
     """Gather rows of a row-sharded table inside ``shard_map``.
 
     table_shard: [N/m, D] — this device's contiguous rows; ids: [B] global
     row ids (replicated across the axis).  Returns [B, D] full rows on
     every shard: local gather where owned, zeros elsewhere, ``psum`` to
-    assemble.
+    assemble.  ``row_transform`` applies per-row at the owner before the
+    psum (transform first, then zero unowned slots — each id is owned by
+    exactly one shard, so the sum is still the transformed gather).
     """
     m = jax.lax.axis_size(axis)
     my = jax.lax.axis_index(axis)
@@ -690,5 +751,7 @@ def row_sharded_lookup(table_shard: jax.Array, ids: jax.Array,
     owned = (local >= 0) & (local < per)
     safe = jnp.clip(local, 0, per - 1)
     rows = jnp.take(table_shard, safe, axis=0)
+    if row_transform is not None:
+        rows = row_transform(rows)
     rows = jnp.where(owned[:, None], rows, 0)
     return jax.lax.psum(rows, axis)

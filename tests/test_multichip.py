@@ -668,3 +668,88 @@ def test_sharded_adjacency_sampling_with_exclusion(world):
         np.testing.assert_array_equal(
             np.asarray(a), np.asarray(b), err_msg=name
         )
+
+
+def _all_gather_bytes(hlo_text: str) -> int:
+    """Sum output bytes of all-gather ops in optimized HLO text."""
+    import re
+
+    dtype_bytes = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "pred": 1}
+    shape_re = re.compile(r"(\w+)\[([\d,]*)\]")
+    total = 0
+    for line in hlo_text.splitlines():
+        m = re.search(r"=\s+(.*?)\s+all-gather\(", line)
+        if not m:
+            continue
+        for dt, dims in shape_re.findall(m.group(1)):
+            if dt not in dtype_bytes:
+                continue
+            n = 1
+            for d in dims.split(","):
+                if d:
+                    n *= int(d)
+            total += n * dtype_bytes[dt]
+    return total
+
+
+def test_tp_leaf_transform_equal_and_fewer_reassembly_bytes(world):
+    """Tensor-parallel leaf (tp_transform): the a2a step applies the
+    per-row leaf transform on each model shard BEFORE the reassembly
+    all_gather.  Same math as transforming after reassembly, but the
+    exchange rides at hidden width — in the wide-feature regime
+    (feat_dim >> hidden) the compiled all_gather bytes must shrink."""
+    from gnn_recsys_tpu.parallel.sharded import make_shardmap_tp_dp_step
+    from gnn_recsys_tpu.train.minibatch import MinibatchConfig
+
+    data, g, _, _, _, _, etypes, batch, tables = world
+    feat_dim, hidden = 64, 8
+    rng_np = np.random.default_rng(7)
+    feats = {
+        nt: jnp.asarray(
+            rng_np.normal(size=(g.num_nodes(nt), feat_dim)), jnp.float32
+        )
+        for nt in g.ntypes
+    }
+    model = ConvModel(
+        canonical_etypes=g.canonical_etypes,
+        dims=(("user", feat_dim), ("item", feat_dim),
+              ("hidden", hidden), ("out", hidden)),
+        n_layers=3, aggregator_type="mean_nn", pred="cos",
+    )
+    params = init_model(model, g, feats, seed=0)
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=optax.adam(1e-2)
+    )
+    cfg = MinibatchConfig(
+        edge_batch_size=64, fanouts=(4, 4), neg_sample_size=8,
+        neg_mode="shared_pool", neg_pool_size=16,
+    )
+    mesh = make_mesh(8, data_axis=4)
+    rng = jax.random.PRNGKey(3)
+
+    steps, compiled = {}, {}
+    for flag in (True, False):
+        tp = make_shardmap_tp_dp_step(
+            model, cfg, etypes, mesh, row_shard_ntypes=("item",),
+            tp_transform=flag,
+        )
+        compiled[flag] = tp.lower(
+            state, g, feats, batch, tables, rng
+        ).compile()
+        steps[flag] = compiled[flag](state, g, feats, batch, tables, rng)
+
+    (st_on, loss_on), (st_off, loss_off) = steps[True], steps[False]
+    np.testing.assert_allclose(
+        float(loss_on), float(loss_off), rtol=1e-6, atol=1e-7
+    )
+    for a, b in zip(jax.tree.leaves(st_on.params),
+                    jax.tree.leaves(st_off.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    on = _all_gather_bytes(compiled[True].as_text())
+    off = _all_gather_bytes(compiled[False].as_text())
+    # Reassembly moves from feat_dim (64) to hidden (8) width; the other
+    # all_gathers are unchanged, so a substantial shrink must show up.
+    assert on < off, (on, off)
+    assert on <= 0.5 * off, (on, off)
