@@ -22,7 +22,11 @@ from gnn_recsys_tpu.inference import inference_ondemand
               help="Recommend for every known user.")
 @click.option("--k", default=10)
 @click.option("--keep-already-bought", is_flag=True, default=False)
-@click.option("--use-popularity", is_flag=True, default=False)
+@click.option("--use-popularity/--no-use-popularity", default=None,
+              help="Popularity boost at serving. Default: auto — boost "
+                   "iff the saved run trained the hinge objective with "
+                   "popularity_importance on (the boost is negative for "
+                   "softmax-trained latents).")
 @click.option("--weight-popularity", default=1.0)
 @click.option("--mesh", "mesh_devices", default=0,
               help="Distribute serving over N devices (embedding "

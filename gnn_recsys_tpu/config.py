@@ -169,6 +169,13 @@ class HyperParams:
     popularity_importance: str = "no"
     purchases_sample: float = 0.5
     use_recency: bool = True
+    # Training objective (extension; the reference trains the hinge
+    # only, src/model.py:473-533): 'max_margin' or 'sampled_softmax'
+    # (InfoNCE over the negative pool; tau from ``softmax_tau``).  On
+    # the hard benchmark the softmax at tau=0.2 sustains raw recall
+    # +14% over the hinge (docs/results/quality_r5_summary.json).
+    loss: str = "max_margin"
+    softmax_tau: float = 0.2
 
     @property
     def out_dim(self) -> int:
@@ -189,6 +196,20 @@ class HyperParams:
     @property
     def days_popularity(self) -> int:
         return POPULARITY_IMPORTANCE[self.popularity_importance][2]
+
+    @property
+    def serve_with_popularity_boost(self) -> bool:
+        """Whether SERVING applies the reference popularity boost
+        (``softmax(scores) + w * popularity``, src/metrics.py:69-72).
+
+        Boost transfer is objective-dependent (measured, r5): it adds
+        ~+4% recall to hinge-trained latents but is NEGATIVE for
+        softmax-trained latents (their cosine geometry already encodes
+        popularity) — so softmax-trained models serve boost-free by
+        default regardless of ``popularity_importance``.  Feature-side
+        popularity (``use_popularity``) is unaffected.
+        """
+        return self.use_popularity and self.loss != "sampled_softmax"
 
     def resolved_aggregator_type(self, duplicates: str) -> str:
         """count_occurrence edges imply the *_edge aggregator variant

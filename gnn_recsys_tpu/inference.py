@@ -67,7 +67,7 @@ def inference_ondemand(
     remove_already_bought: bool = True,
     node_batch_size: int = 128,
     inference_mode: str = "full_graph",
-    use_popularity: bool = False,
+    use_popularity: Optional[bool] = None,
     weight_popularity: float = 1.0,
     rebuild_dataframes: Optional[Dict] = None,
     mesh=None,
@@ -128,6 +128,21 @@ def inference_ondemand(
         already = build_padded_pair_set(
             ab_u, ab_i, num_src=graph.num_nodes("user")
         )
+    if use_popularity is None:
+        # Auto: boost iff the SAVED run's hyperparameters say it
+        # transfers (popularity_importance on AND a hinge objective —
+        # the boost is negative for softmax-trained latents; see
+        # HyperParams.serve_with_popularity_boost).
+        import dataclasses as _dc
+
+        from gnn_recsys_tpu.config import HyperParams
+
+        hp_dict = run["hyper_params"] or {}
+        known = {f.name for f in _dc.fields(HyperParams)}
+        hyper = HyperParams(
+            **{k: v for k, v in hp_dict.items() if k in known}
+        )
+        use_popularity = hyper.serve_with_popularity_boost
     popularity = None
     if use_popularity and "popularity" in graph.ndata.get("item", {}):
         popularity = graph.ndata["item"]["popularity"].reshape(-1)

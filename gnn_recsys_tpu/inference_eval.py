@@ -72,7 +72,10 @@ def inference_fn(
         ),
     )
     popularity = None
-    if hyper.use_popularity and "popularity" in g.ndata.get("item", {}):
+    # Boost only when it transfers: hinge-trained latents (see
+    # HyperParams.serve_with_popularity_boost).
+    if (hyper.serve_with_popularity_boost
+            and "popularity" in g.ndata.get("item", {})):
         popularity = g.ndata["item"]["popularity"].reshape(-1)
     from gnn_recsys_tpu.retrieval.recs import model_score_fn
 

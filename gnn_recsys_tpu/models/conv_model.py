@@ -318,6 +318,7 @@ class ConvModel(nn.Module):
         deterministic: bool = True,
         dedup: bool = False,
         feature_lookup: Optional[Callable] = None,
+        neighbor_sample: Optional[Callable] = None,
     ) -> Dict[str, jax.Array]:
         """Minibatch representations via sampled neighbor blocks/trees.
 
@@ -361,6 +362,16 @@ class ConvModel(nn.Module):
             apply it per shard-slice before reassembly (tensor-parallel
             leaf: hidden-width exchange, sharded leaf FLOPs); when it
             does, it must return ``row_transform(rows)``.
+        neighbor_sample: optional frontier expander replacing
+            ``ops.sampling.sample_neighbors`` for the etypes in its
+            ``.etypes`` attribute — the sharded-CSR hook (adjacency rows
+            sharded over a mesh axis; see
+            ``parallel/sharded.py:sample_neighbors_sharded``).  Called as
+            ``(etype, ids, fanout, rng, mode, with_eids, excl) ->
+            (nbr, eid, mask)`` with the UNTRANSLATED exclusion entry
+            (sorted edge ids) — shard-local sign-marking is the hook's
+            job (``exclusion_table_sharded``).  Tree path only; handled
+            etypes bypass remat_levels and the packed-leaf cache.
         Returns ntype -> [*seed_shape, out_dim].
         """
         n_layers = len(self.layers)
@@ -376,13 +387,21 @@ class ConvModel(nn.Module):
         # bench config).  Levels distinguish the forms structurally:
         # 2-D int = marked table, 1-D bool = positional flags, 1-D int =
         # legacy sorted eids.
+        hook_etypes = (
+            frozenset(getattr(neighbor_sample, "etypes", ()))
+            if neighbor_sample is not None else frozenset()
+        )
         if exclude_eids is not None:
             from gnn_recsys_tpu.ops.sampling import exclusion_table
 
             translated = {}
             for et, v in exclude_eids.items():
                 rel = graph.rels.get(et)
-                if (
+                if et in hook_etypes:
+                    # Sharded-CSR etype: the replicated nbr table may be
+                    # stripped; the hook sign-marks its own shard.
+                    translated[et] = v
+                elif (
                     v.ndim == 1
                     and v.dtype != jnp.bool_
                     and rel is not None
@@ -393,9 +412,10 @@ class ConvModel(nn.Module):
                     translated[et] = v
             exclude_eids = translated
         if dedup:
-            if feature_lookup is not None:
+            if feature_lookup is not None or neighbor_sample is not None:
                 raise ValueError(
-                    "feature_lookup is supported on the tree path only"
+                    "feature_lookup/neighbor_sample are supported on the "
+                    "tree path only"
                 )
             return self._sampled_repr_dedup(
                 graph, features, seeds, fanouts, rng,
@@ -404,7 +424,7 @@ class ConvModel(nn.Module):
         return self._sampled_repr_tree(
             graph, features, seeds, fanouts, rng,
             exclude_eids=exclude_eids, deterministic=deterministic,
-            feature_lookup=feature_lookup,
+            feature_lookup=feature_lookup, neighbor_sample=neighbor_sample,
         )
 
     def _sampled_repr_tree(
@@ -417,6 +437,7 @@ class ConvModel(nn.Module):
         exclude_eids: Optional[Dict[CanonicalEtype, jax.Array]] = None,
         deterministic: bool = True,
         feature_lookup: Optional[Callable] = None,
+        neighbor_sample: Optional[Callable] = None,
     ) -> Dict[str, jax.Array]:
         n_layers = len(self.layers)
         out = {}
@@ -426,6 +447,7 @@ class ConvModel(nn.Module):
                 graph, features, exclude_eids, tuple(fanouts), deterministic,
                 n_layers, ntype, ids, keys[i],
                 feature_lookup=feature_lookup,
+                neighbor_sample=neighbor_sample,
             )
         return out
 
@@ -441,6 +463,7 @@ class ConvModel(nn.Module):
         ids: jax.Array,
         key: jax.Array,
         feature_lookup: Optional[Callable] = None,
+        neighbor_sample: Optional[Callable] = None,
     ) -> jax.Array:
         """Route one tree level through nn.remat when ``remat_levels``.
 
@@ -459,6 +482,7 @@ class ConvModel(nn.Module):
         if ids.ndim != 1:
             ids = ids.reshape(-1)
         if (self.remat_levels and level > 0 and feature_lookup is None
+                and neighbor_sample is None
                 and not self.is_initializing()):
             fn = nn.remat(ConvModel._tree_level, static_argnums=(4, 5, 6, 7))
             out = fn(self, graph, features, exclude_eids, fanouts,
@@ -466,7 +490,8 @@ class ConvModel(nn.Module):
         else:
             out = self._tree_level(graph, features, exclude_eids, fanouts,
                                    deterministic, level, ntype, ids, key,
-                                   feature_lookup=feature_lookup)
+                                   feature_lookup=feature_lookup,
+                                   neighbor_sample=neighbor_sample)
         if len(shape) != 1:
             out = out.reshape(*shape, out.shape[-1])
         return out
@@ -550,8 +575,14 @@ class ConvModel(nn.Module):
         ids: jax.Array,
         key: jax.Array,
         feature_lookup: Optional[Callable] = None,
+        neighbor_sample: Optional[Callable] = None,
     ) -> jax.Array:
         from gnn_recsys_tpu.ops.sampling import sample_neighbors
+
+        hook_etypes = (
+            frozenset(getattr(neighbor_sample, "etypes", ()))
+            if neighbor_sample is not None else frozenset()
+        )
 
         # Tensor-parallel transform push-down: a 3-arg hook receives the
         # PER-ROW transform that would otherwise run on the reassembled
@@ -596,6 +627,7 @@ class ConvModel(nn.Module):
         h_self = self._tree_dispatch(
             graph, features, exclude_eids, fanouts, deterministic,
             level - 1, ntype, ids, keys[-1], feature_lookup=feature_lookup,
+            neighbor_sample=neighbor_sample,
         )
         zs = []
         for j, etype in enumerate(in_etypes):
@@ -620,30 +652,40 @@ class ConvModel(nn.Module):
             # (see full_neighbors_packed).  Identical values: masked
             # slots differ only where the mask zeroes them.
             raw_packed = None
-            packed_ok = (
-                level == 1 and fanout == -1 and rel.nbr_feat is not None
-                and not need_eid and (excl is None or excl.ndim == 2)
-                and feature_lookup is None  # cache is local-only
-            )
-            if packed_ok:
-                from gnn_recsys_tpu.ops.sampling import (
-                    full_neighbors_packed,
+            if etype in hook_etypes:
+                # Sharded-CSR expansion: adjacency rows for this etype
+                # live sharded over a mesh axis; the hook resolves the
+                # frontier through the a2a machinery (and applies its own
+                # shard-local exclusion from the raw sorted eids).
+                nbr, eid, mask = neighbor_sample(
+                    etype, ids, max(fanout, 1), keys[2 * j],
+                    "full" if fanout == -1 else "uniform", need_eid, excl,
                 )
-
-                raw_packed, mask = full_neighbors_packed(
-                    rel, ids, nbr_table=excl,
-                )
-                nbr = eid = None
             else:
-                nbr, eid, mask = sample_neighbors(
-                    rel,
-                    ids,
-                    fanout=max(fanout, 1),
-                    rng=keys[2 * j],
-                    mode="full" if fanout == -1 else "uniform",
-                    with_eids=need_eid,
-                    **_exclusion_kwargs(excl),
+                packed_ok = (
+                    level == 1 and fanout == -1 and rel.nbr_feat is not None
+                    and not need_eid and (excl is None or excl.ndim == 2)
+                    and feature_lookup is None  # cache is local-only
                 )
+                if packed_ok:
+                    from gnn_recsys_tpu.ops.sampling import (
+                        full_neighbors_packed,
+                    )
+
+                    raw_packed, mask = full_neighbors_packed(
+                        rel, ids, nbr_table=excl,
+                    )
+                    nbr = eid = None
+                else:
+                    nbr, eid, mask = sample_neighbors(
+                        rel,
+                        ids,
+                        fanout=max(fanout, 1),
+                        rng=keys[2 * j],
+                        mode="full" if fanout == -1 else "uniform",
+                        with_eids=need_eid,
+                        **_exclusion_kwargs(excl),
+                    )
             if (
                 level == 1
                 and self.embedding_layer
@@ -759,6 +801,7 @@ class ConvModel(nn.Module):
                     graph, features, exclude_eids, fanouts, deterministic,
                     level - 1, etype[0], nbr, keys[2 * j + 1],
                     feature_lookup=feature_lookup,
+                    neighbor_sample=neighbor_sample,
                 )
                 h_nbr = layer.transform_src(
                     h_nbr, deterministic=deterministic
@@ -1031,6 +1074,7 @@ class ConvModel(nn.Module):
         deterministic: bool = True,
         dedup: bool = False,
         feature_lookup: Optional[Callable] = None,
+        neighbor_sample: Optional[Callable] = None,
     ):
         """Sampled-tree forward + scoring for one minibatch.
 
@@ -1057,6 +1101,7 @@ class ConvModel(nn.Module):
             deterministic=deterministic,
             dedup=dedup,
             feature_lookup=feature_lookup,
+            neighbor_sample=neighbor_sample,
         )
         # All shapes are static, so plain slicing compiles cleanly.
         pos_scores, neg_scores, neg_dsts = {}, {}, {}

@@ -36,6 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from gnn_recsys_tpu.graph.hetero import CanonicalEtype
 from gnn_recsys_tpu.models.conv_model import ConvModel
 from gnn_recsys_tpu.train.minibatch import MinibatchConfig, make_minibatch_step
 
@@ -202,6 +203,8 @@ def make_shardmap_tp_dp_step(
     a2a_capacity_factor: Optional[float] = None,
     hash_mix_logs: Optional[Dict[str, int]] = None,
     tp_transform: bool = True,
+    graph_shard_etypes: Tuple[CanonicalEtype, ...] = (),
+    adj_capacity: Optional[int] = None,
 ) -> Callable:
     """Explicit-collective 2-D step: data-parallel batches x row-sharded
     feature tables with ``all_to_all`` lookup exchange — the BASELINE
@@ -248,29 +251,43 @@ def make_shardmap_tp_dp_step(
     identified in docs/results/comm_bytes_sweep_r5.txt) and the leaf
     matmul FLOPs shard over the model axis.  Per-row maps commute with
     reassembly, so the step is numerically identical either way.
+
+    ``graph_shard_etypes`` is the sharded-CSR training path (SURVEY §2.3
+    "sharded CSR"): those relations' per-destination adjacency tables
+    arrive as an extra ``adj`` step input (:func:`shard_adjacency`,
+    placed ``P(model_axis)`` — leading rows), the replicated graph can be
+    :func:`strip_adjacency`-ed down to placeholders, and every tree
+    expansion of a listed etype routes through
+    :func:`sample_neighbors_sharded` (bit-identical to the replicated
+    sampler under the same rng, exclusion included).  The step signature
+    becomes ``(state, graph, features, batch, edge_tables, adj, rng)``.
+    ``adj_capacity`` bounds the per-peer adjacency-row exchange buckets
+    (None = worst-case exact).
     """
     if has_reverse is None:
         has_reverse = {et: True for et in train_etypes}
     m = mesh.shape[model_axis]
     with_drops = a2a_capacity_factor is not None
+    shard_adj = tuple(graph_shard_etypes)
 
-    def step(state, graph, features, batch, edge_tables, rng):
+    def step(state, graph, features, batch, edge_tables, adj, rng):
         repl = jax.tree.map(lambda _: P(), (state, graph, edge_tables))
         feat_specs = {
             nt: P(model_axis) if nt in row_shard_ntypes else P()
             for nt in features
         }
         batch_spec = jax.tree.map(lambda _: P(data_axis), batch)
+        adj_spec = jax.tree.map(lambda _: P(model_axis), adj)
 
         @functools.partial(
             shard_map,
             mesh=mesh,
             in_specs=(repl[0], repl[1], feat_specs, batch_spec, repl[2],
-                      P()),
+                      adj_spec, P()),
             out_specs=(P(), P(), P()) if with_drops else (P(), P()),
             check_vma=False,
         )
-        def _sharded(state, graph, features, batch, edge_tables, rng):
+        def _sharded(state, graph, features, batch, edge_tables, adj, rng):
             # Same rng per data shard ACROSS the model axis (the tree must
             # be identical for the a2a request sets to be consistent).
             shard_rng = jax.random.fold_in(
@@ -344,11 +361,35 @@ def make_shardmap_tp_dp_step(
                         full = row_transform(full)
                     return full
 
+                neighbor_sample = None
+                if shard_adj:
+                    def neighbor_sample(et, ids, fanout, rng, mode,
+                                        with_eids, excl):
+                        a = adj[et]
+                        table_s = None
+                        if excl is not None:
+                            # excl arrives UNTRANSLATED (sorted batch
+                            # edge ids): sign-mark this shard's rows.
+                            table_s = exclusion_table_sharded(
+                                a["nbr"], graph.rels[et].eid_pos, excl,
+                                axis=model_axis,
+                            )
+                        return sample_neighbors_sharded(
+                            a["nbr"], a["eid"], a["mask"], a["deg"],
+                            ids, fanout, rng=rng, mode=mode,
+                            axis=model_axis, capacity=adj_capacity,
+                            with_eids=with_eids,
+                            nbr_table_shard=table_s,
+                        )
+
+                    neighbor_sample.etypes = frozenset(shard_adj)
+
                 eval_step = make_minibatch_step(
                     model, cfg, tuple(train_etypes), with_update=False,
                     with_exclusion=cfg.exclude_batch_edges,
                     has_reverse=has_reverse, jit=False,
                     feature_lookup=feature_lookup,
+                    neighbor_sample=neighbor_sample,
                 )
                 st = state.replace(params=params)
                 _, loss = eval_step(
@@ -375,9 +416,17 @@ def make_shardmap_tp_dp_step(
                 return new_state, loss, dropped
             return new_state, loss
 
-        return _sharded(state, graph, features, batch, edge_tables, rng)
+        return _sharded(state, graph, features, batch, edge_tables, adj,
+                        rng)
 
-    return jax.jit(step)
+    if shard_adj:
+        return jax.jit(step)
+    # No sharded adjacency: keep the 6-arg signature.
+    return jax.jit(
+        lambda state, graph, features, batch, edge_tables, rng: step(
+            state, graph, features, batch, edge_tables, {}, rng
+        )
+    )
 
 
 _MIX_A = np.int64(0x9E3779B1)  # odd 32-bit golden-ratio multipliers
@@ -567,6 +616,47 @@ def row_sharded_lookup_a2a(
     if return_dropped:
         return out, dropped
     return out
+
+
+def shard_adjacency(graph, etypes, m: int) -> Dict:
+    """Host-side prep for sharded-CSR training: pad each relation's
+    per-destination tables to a multiple of ``m`` and bundle them for
+    ``P(model)`` placement (leading-row sharding).
+
+    Returns ``{etype: {"nbr", "eid", "mask", "deg"}}`` — pass as the
+    ``adj`` input of a step built with ``graph_shard_etypes`` and place
+    every leaf with ``NamedSharding(mesh, P('model'))``.
+    """
+    out = {}
+    for et in etypes:
+        nbr, eid, mask, deg, _ = pad_adjacency_tables(graph.rels[et], m)
+        out[et] = {"nbr": nbr, "eid": eid, "mask": mask, "deg": deg}
+    return out
+
+
+def strip_adjacency(graph, etypes):
+    """Drop the replicated per-destination adjacency of ``etypes`` from a
+    graph whose expansions route through the sharded-CSR hook.
+
+    The [N, K] nbr/nbr_eid/nbr_mask tables are the HBM term that stops
+    replication scaling past ~10M users (docs/results/hbm_budget_r5.md);
+    once they live sharded in ``adj`` (:func:`shard_adjacency`), the
+    replicated copies shrink to 1-element placeholders.  COO ``src`` /
+    ``dst`` / ``edata`` and ``eid_pos`` (all O(E)) stay — the step's
+    batch slicing, loss weighting, and the hook's shard-local exclusion
+    marking read them.
+    """
+    rels = dict(graph.rels)
+    for et in etypes:
+        r = rels[et]
+        rels[et] = r.replace(
+            nbr=jnp.full((1, 1), -1, jnp.int32),
+            nbr_eid=jnp.zeros((1, 1), jnp.int32),
+            nbr_mask=jnp.zeros((1, 1), dtype=bool),
+            deg=jnp.zeros((1,), jnp.int32),
+            nbr_feat=None,
+        )
+    return graph.replace(rels=rels)
 
 
 def pad_adjacency_tables(rel, m: int):

@@ -205,6 +205,7 @@ def make_minibatch_step(
     has_reverse: Dict[CanonicalEtype, bool],
     jit: bool = True,
     feature_lookup=None,
+    neighbor_sample=None,
 ) -> Callable:
     """Build the jit'd minibatch step.
 
@@ -281,6 +282,7 @@ def make_minibatch_step(
                 deterministic=deterministic,
                 dedup=cfg.dedup,
                 feature_lookup=feature_lookup,
+                neighbor_sample=neighbor_sample,
                 method="minibatch_forward",
                 rngs={} if deterministic else {"dropout": r_drop},
             )

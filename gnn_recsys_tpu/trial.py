@@ -119,6 +119,8 @@ def minibatch_config(
         neg_pool_size=neg_pool_size,
         dedup=dedup,
         delta=hyper.delta,
+        loss=hyper.loss,
+        softmax_tau=hyper.softmax_tau,
         lr=hyper.lr,
         num_epochs=fixed.num_epochs,
         remove_false_negative=fixed.remove_false_negative,
@@ -235,7 +237,10 @@ def run_trial(
         gd.adjacency_dict.get("purchases_dst", gd.adjacency_dict.get("user_item_dst")),
     )
     popularity = None
-    if hyper.use_popularity and "popularity" in g.ndata.get("item", {}):
+    # Boost only when it transfers: hinge-trained latents (see
+    # HyperParams.serve_with_popularity_boost).
+    if (hyper.serve_with_popularity_boost
+            and "popularity" in g.ndata.get("item", {})):
         popularity = g.ndata["item"]["popularity"].reshape(-1)
     score_fn = model_score_fn(model.pred, state.params)
     precision, recall, coverage = get_metrics_at_k(

@@ -753,3 +753,50 @@ def test_tp_leaf_transform_equal_and_fewer_reassembly_bytes(world):
     # all_gathers are unchanged, so a substantial shrink must show up.
     assert on < off, (on, off)
     assert on <= 0.5 * off, (on, off)
+
+
+def test_graph_sharded_training_step_equals_replicated(world):
+    """Sharded-CSR TRAINING (SURVEY §2.3 'sharded CSR', end-to-end): the
+    2-D step with every relation's adjacency row-sharded over 'model'
+    (replicated copies stripped to placeholders) must equal the
+    replicated-adjacency a2a step — sampling, exclusion, loss, update."""
+    from gnn_recsys_tpu.parallel.sharded import (
+        make_shardmap_tp_dp_step,
+        shard_adjacency,
+        strip_adjacency,
+    )
+
+    data, g, model, feats, state, cfg, etypes, batch, tables = world
+    mesh = make_mesh(8, data_axis=4)  # (4, 2) data x model
+    rng = jax.random.PRNGKey(3)
+
+    tp = make_shardmap_tp_dp_step(
+        model, cfg, etypes, mesh, row_shard_ntypes=("item",),
+    )
+    st_ref, loss_ref = tp(state, g, feats, batch, tables, rng)
+
+    all_ets = g.canonical_etypes
+    adj = shard_adjacency(g, all_ets, 2)
+    g_stripped = strip_adjacency(g, all_ets)
+    # The stripped graph really lost its big tables.
+    assert g_stripped.rels[ET].nbr.shape == (1, 1)
+    assert g_stripped.rels[ET].eid_pos is not None
+
+    gs = make_shardmap_tp_dp_step(
+        model, cfg, etypes, mesh, row_shard_ntypes=("item",),
+        graph_shard_etypes=all_ets,
+    )
+    st_gs, loss_gs = gs(state, g_stripped, feats, batch, tables, adj, rng)
+
+    np.testing.assert_allclose(
+        float(loss_ref), float(loss_gs), rtol=1e-6, atol=1e-7
+    )
+    for a, b in zip(jax.tree.leaves(st_ref.params),
+                    jax.tree.leaves(st_gs.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+    # And it trains standalone: second step produces a finite loss.
+    _, loss2 = gs(st_gs, g_stripped, feats, batch, tables, adj,
+                  jax.random.fold_in(rng, 1))
+    assert np.isfinite(float(loss2))

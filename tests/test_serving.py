@@ -415,3 +415,23 @@ def test_run_trial_max_fanout_caps_rows(tmp_path):
                                    user_feat=uf, max_fanout=fixed.max_fanout)
     for et, rel in gd.graph.rels.items():
         assert rel.max_fanout <= 8, (et, rel.max_fanout)  # cap + tile pad
+
+
+def test_softmax_trained_serving_defaults_boost_free():
+    """Boost-transfer policy (r5 finding): the reference popularity boost
+    (src/metrics.py:69-72) serves by default only on hinge-trained
+    latents; softmax-trained models serve boost-free even when
+    popularity_importance is on.  Feature-side popularity is unaffected."""
+    import dataclasses
+
+    from gnn_recsys_tpu.config import HyperParams
+
+    h = HyperParams(popularity_importance="medium")
+    assert h.use_popularity
+    assert h.serve_with_popularity_boost
+
+    hs = dataclasses.replace(h, loss="sampled_softmax")
+    assert hs.use_popularity  # popularity FEATURES still built
+    assert not hs.serve_with_popularity_boost
+
+    assert not HyperParams().serve_with_popularity_boost  # 'no' default
