@@ -84,6 +84,13 @@ def inference_ondemand(
     inference data-parallel over every device, retrieval with the item
     catalog row-sharded (retrieval/sharded.py; results equal the
     single-device path exactly).
+
+    ``use_popularity=None`` (default) resolves from the SAVED run's
+    hyperparameters: the reference boost (src/metrics.py:69-72) is
+    applied iff the run trained the hinge objective with
+    popularity_importance on — it transfers ~+4% there and is NEGATIVE
+    for softmax-trained latents (``serve_with_popularity_boost``).
+    Pass True/False to override.
     """
     run = load_run(run_dir)
     graph = run["graph"]
